@@ -1,0 +1,360 @@
+"""DiT backbone family (Flax): token-wise AdaLN-Zero video transformers.
+
+Re-designed TPU-first from the reference DiT stack
+(algorithms/dfot/backbones/dit/dit_base.py, dit_blocks.py, dit3d.py):
+
+- channel-last (B, T, H, W, C) tensors throughout (TPU conv/matmul layout),
+- patchify = reshape + one MXU matmul (see models/embeddings.PatchEmbed),
+- attention through ops.attention (Pallas flash kernel on TPU),
+- per-block rematerialization with ``nn.remat`` instead of torch checkpoint,
+- bf16 compute / fp32 params via the ``dtype`` field,
+- token-wise conditioning: the AdaLN modulation is computed from a (B, N, C)
+  conditioning stream, so every token (frame) can carry its own noise level —
+  the Diffusion Forcing mechanism.
+
+Variants: "full" (all T*P tokens in one attention), "factorized_encoder"
+(alternating spatial/temporal blocks), "factorized_attention" (spatial then
+temporal attention inside one block sequence).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import attention
+from .embeddings import (
+    LabelEmbedding,
+    PatchEmbed,
+    RandomDropoutCondEmbedding,
+    RoPE,
+    StochasticTimeEmbedding,
+    apply_rope,
+    make_rope_2d,
+    make_rope_3d,
+    timestep_embedding,
+)
+
+__all__ = ["DiTBlock", "DiTBase", "DiT3D", "FinalLayer"]
+
+
+def modulate(x: jax.Array, shift: jax.Array, scale: jax.Array) -> jax.Array:
+    return x * (1 + scale) + shift
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with optional RoPE (packed qkv matmul)."""
+
+    dim: int
+    num_heads: int
+    rope: Optional[RoPE] = None
+    causal: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, N, C = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = [
+            jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)
+        ]  # (B, H, N, D)
+        if self.rope is not None:
+            q = apply_rope(q, self.rope)
+            k = apply_rope(k, self.rope)
+        out = attention(q, k, v, causal=self.causal)
+        out = jnp.moveaxis(out, 1, 2).reshape(B, N, C)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class Mlp(nn.Module):
+    dim: int
+    hidden: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=True)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+
+
+class AdaModulation(nn.Module):
+    """SiLU + zero-initialized linear producing n_chunks modulation tensors."""
+
+    dim: int
+    n_chunks: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, c: jax.Array) -> Tuple[jax.Array, ...]:
+        m = nn.Dense(
+            self.n_chunks * self.dim,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="linear",
+        )(nn.silu(c))
+        return tuple(jnp.split(m, self.n_chunks, axis=-1))
+
+
+class DiTBlock(nn.Module):
+    """AdaLN-Zero transformer block with token-wise conditioning
+    (reference: dit_blocks.py:440-510)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: Optional[float] = 4.0
+    rope: Optional[RoPE] = None
+    causal: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, c: jax.Array) -> jax.Array:
+        ln = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype)
+        shift, scale, gate = AdaModulation(self.dim, 3, self.dtype, name="mod_attn")(c)
+        h = modulate(ln(x), shift, scale)
+        x = x + gate * Attention(
+            self.dim, self.num_heads, self.rope, self.causal, self.dtype, name="attn"
+        )(h)
+        if self.mlp_ratio is not None and self.mlp_ratio > 0:
+            shift2, scale2, gate2 = AdaModulation(self.dim, 3, self.dtype, name="mod_mlp")(c)
+            h = modulate(ln(x), shift2, scale2)
+            x = x + gate2 * Mlp(
+                self.dim, int(self.dim * self.mlp_ratio), self.dtype, name="mlp"
+            )(h)
+        return x
+
+
+class FinalLayer(nn.Module):
+    """AdaLN + zero-init projection (reference: dit_blocks.py:513-542)."""
+
+    dim: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, c: jax.Array) -> jax.Array:
+        shift, scale = AdaModulation(self.dim, 2, self.dtype, name="mod")(c)
+        ln = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype)
+        x = modulate(ln(x), shift, scale)
+        return nn.Dense(
+            self.out_dim,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+
+
+@dataclasses.dataclass(frozen=True)
+class DiTSpec:
+    """Static architecture spec shared by DiT variants."""
+
+    hidden_size: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    spatial_mlp_ratio: Optional[float] = None
+    variant: str = "full"  # full | factorized_encoder | factorized_attention
+    pos_emb_type: str = "rope_3d"
+    patch_size: int = 2
+    max_temporal_length: int = 16
+    use_gradient_checkpointing: bool = False
+    causal: bool = False
+
+
+class DiTBase(nn.Module):
+    """Shared transformer trunk over (B, N, C) tokens with (B, N, C) cond.
+
+    num_patches: tokens per frame (None for 1-D latents).
+    """
+
+    spec: DiTSpec
+    num_patches: Optional[int]
+    spatial_grid: Optional[Tuple[int, int]]
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        s = self.spec
+        self.rope = None
+        self.pos_emb = None
+        head_dim = s.hidden_size // s.num_heads
+        if s.pos_emb_type == "rope_3d":
+            assert s.variant == "full", "rope_3d requires the full variant"
+            self.rope = make_rope_3d(
+                head_dim, (s.max_temporal_length,) + tuple(self.spatial_grid)
+            )
+        elif s.pos_emb_type == "rope_2d":
+            self.rope = make_rope_2d(head_dim, tuple(self.spatial_grid))
+        elif s.pos_emb_type == "learned_1d":
+            max_tokens = s.max_temporal_length * (self.num_patches or 1)
+            self.pos_emb = self.param(
+                "pos_emb", nn.initializers.normal(0.02), (1, max_tokens, s.hidden_size)
+            )
+        elif s.pos_emb_type in ("sinusoidal_1d", "sinusoidal_factorized"):
+            pass  # built lazily in __call__ via numpy tables
+        else:
+            raise ValueError(f"unsupported pos_emb_type {s.pos_emb_type}")
+
+        block = DiTBlock
+        if s.use_gradient_checkpointing:
+            block = nn.remat(DiTBlock, static_argnums=())
+        spatial_rope = self.rope if s.pos_emb_type.startswith("rope") else None
+        self.blocks = [
+            block(
+                s.hidden_size,
+                s.num_heads,
+                s.spatial_mlp_ratio if s.variant != "full" else s.mlp_ratio,
+                spatial_rope,
+                s.causal and s.variant == "full",
+                self.dtype,
+                name=f"block_{i}",
+            )
+            for i in range(s.depth)
+        ]
+        if self.is_factorized:
+            self.temporal_blocks = [
+                block(
+                    s.hidden_size,
+                    s.num_heads,
+                    s.mlp_ratio,
+                    None,
+                    s.causal,
+                    self.dtype,
+                    name=f"temporal_block_{i}",
+                )
+                for i in range(s.depth)
+            ]
+        self.final_layer = FinalLayer(
+            s.hidden_size, self.out_channels, self.dtype, name="final_layer"
+        )
+
+    @property
+    def is_factorized(self) -> bool:
+        return self.spec.variant in ("factorized_encoder", "factorized_attention")
+
+    def __call__(self, x: jax.Array, c: jax.Array) -> jax.Array:
+        """x, c: (B, N, C) with N = T * num_patches (flattened row-major)."""
+        s = self.spec
+        B, N, C = x.shape
+        P = self.num_patches or 1
+        T = N // P
+
+        if self.pos_emb is not None:
+            x = x + self.pos_emb[:, :N].astype(x.dtype)
+        elif s.pos_emb_type == "sinusoidal_1d":
+            pos = timestep_embedding(
+                jnp.arange(N, dtype=jnp.float32), s.hidden_size, flip_sin_to_cos=False
+            )
+            x = x + pos[None].astype(x.dtype)
+
+        if not self.is_factorized:
+            for block in self.blocks:
+                x = block(x, c)
+        else:
+            # spatial over (B*T, P), temporal over (B*P, T); XLA fuses the
+            # transposes into the surrounding matmuls
+            for i, block in enumerate(self.blocks):
+                xs = x.reshape(B * T, P, C)
+                cs = c.reshape(B * T, P, C)
+                xs = block(xs, cs)
+                xt = xs.reshape(B, T, P, C).swapaxes(1, 2).reshape(B * P, T, C)
+                ct = c.reshape(B, T, P, C).swapaxes(1, 2).reshape(B * P, T, C)
+                xt = self.temporal_blocks[i](xt, ct)
+                x = xt.reshape(B, P, T, C).swapaxes(1, 2).reshape(B, N, C)
+
+        return self.final_layer(x, c)
+
+
+class DiT3D(nn.Module):
+    """Video DiT: patchify -> DiTBase -> unpatchify, per-frame AdaLN cond
+    (reference: dit3d.py). Input (B, T, H, W, C_in) channel-last; noise_levels
+    (B, T) (integer levels or continuous logSNR).
+    """
+
+    spec: DiTSpec
+    x_channels: int
+    resolution: Tuple[int, int]
+    external_cond_type: Optional[str] = None  # label | action | None
+    external_cond_dim: int = 0
+    external_cond_num_classes: Optional[int] = None
+    external_cond_dropout: float = 0.0
+    use_fourier_noise_emb: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def grid(self) -> Tuple[int, int]:
+        p = self.spec.patch_size
+        return (self.resolution[0] // p, self.resolution[1] // p)
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        noise_levels: jax.Array,
+        external_cond: Optional[jax.Array] = None,
+        external_cond_mask: Optional[jax.Array] = None,
+        train: bool = False,
+    ) -> jax.Array:
+        s = self.spec
+        B, T, H, W, Cin = x.shape
+        p = s.patch_size
+        gh, gw = self.grid
+        P = gh * gw
+
+        tokens = PatchEmbed(p, s.hidden_size, self.dtype, name="patch_embed")(x)
+        tokens = tokens.reshape(B, T * P, s.hidden_size)
+
+        emb = StochasticTimeEmbedding(
+            dim=256,
+            emb_dim=s.hidden_size,
+            use_fourier=self.use_fourier_noise_emb,
+            dtype=self.dtype,
+            name="noise_emb",
+        )(noise_levels, train=train)  # (B, T, C)
+
+        if external_cond is not None and self.external_cond_type is not None:
+            if self.external_cond_type == "label":
+                cond = LabelEmbedding(
+                    self.external_cond_num_classes,
+                    s.hidden_size,
+                    self.external_cond_dropout,
+                    name="cond_emb",
+                )(external_cond, external_cond_mask, train)
+                if cond.ndim == 2:  # per-video label -> broadcast over frames
+                    cond = cond[:, None]
+            elif self.external_cond_type == "action":
+                cond = RandomDropoutCondEmbedding(
+                    s.hidden_size,
+                    self.external_cond_dropout,
+                    self.dtype,
+                    name="cond_emb",
+                )(external_cond, external_cond_mask, train)
+            else:
+                raise ValueError(f"unknown external_cond_type {self.external_cond_type}")
+            emb = emb + cond.astype(emb.dtype)
+
+        # broadcast per-frame conditioning to all patches of the frame
+        c = jnp.repeat(emb, P, axis=1)  # (B, T*P, C)
+
+        out = DiTBase(
+            spec=s,
+            num_patches=P,
+            spatial_grid=self.grid,
+            out_channels=p * p * Cin,
+            dtype=self.dtype,
+            name="dit",
+        )(tokens, c)
+
+        # unpatchify: (B, T*P, p*p*Cin) -> (B, T, H, W, Cin)
+        out = out.reshape(B, T, gh, gw, p, p, Cin)
+        out = out.transpose(0, 1, 2, 4, 3, 5, 6)
+        return out.reshape(B, T, H, W, Cin).astype(jnp.float32)

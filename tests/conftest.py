@@ -14,6 +14,16 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 import pytest  # noqa: E402
+import jax  # noqa: E402
+
+# persistent compilation cache: each new op/shape costs ~0.8s to compile on
+# this single-core host; caching across pytest runs is a large speedup
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# this host's CPU backend runs f32 matmuls in reduced precision by default;
+# tests compare against exact numpy math, so force full precision
+jax.config.update("jax_default_matmul_precision", "float32")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 @pytest.fixture(scope="session")

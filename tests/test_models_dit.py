@@ -1,0 +1,234 @@
+"""Tests for embeddings, attention ops, and the DiT3D backbone."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dfot_tpu.models.dit import DiT3D, DiTSpec
+from dfot_tpu.models.embeddings import (
+    PatchEmbed,
+    apply_rope,
+    make_rope_1d,
+    make_rope_3d,
+    timestep_embedding,
+)
+from dfot_tpu.ops.attention import attention_with_weights, flash_attention
+
+SPEC = DiTSpec(
+    hidden_size=64,
+    depth=2,
+    num_heads=2,
+    mlp_ratio=2.0,
+    variant="full",
+    pos_emb_type="rope_3d",
+    patch_size=2,
+    max_temporal_length=4,
+)
+
+
+def _make_model(**kw):
+    cfg = dict(
+        spec=SPEC,
+        x_channels=3,
+        resolution=(8, 8),
+    )
+    cfg.update(kw)
+    return DiT3D(**cfg)
+
+
+def _init_and_run(model, x, k, cond=None, cond_mask=None):
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, x, k, cond, cond_mask)
+    return variables, model.apply(variables, x, k, cond, cond_mask)
+
+
+# ---------------------------------------------------------------------------
+# embeddings
+# ---------------------------------------------------------------------------
+
+
+def test_timestep_embedding_shapes_and_range():
+    t = jnp.asarray([[0.0, 10.0], [999.0, 500.0]])
+    e = timestep_embedding(t, 32)
+    assert e.shape == (2, 2, 32)
+    assert float(jnp.abs(e).max()) <= 1.0 + 1e-6
+    # distinct timesteps -> distinct embeddings
+    assert float(jnp.abs(e[0, 0] - e[0, 1]).max()) > 0.1
+
+
+def test_rope_preserves_norm_and_relative_property():
+    rope = make_rope_1d(16, 32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 32, 16))
+    rx = apply_rope(x, rope)
+    # rotation preserves per-pair norms
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(x), axis=-1),
+        np.linalg.norm(np.asarray(rx), axis=-1),
+        rtol=1e-5,
+    )
+    # relative property: <R(q,i), R(k,j)> depends only on i - j
+    q = jax.random.normal(jax.random.PRNGKey(1), (16,))
+    k = jax.random.normal(jax.random.PRNGKey(2), (16,))
+    def dot_at(i, j):
+        qi = apply_rope(q[None, None, None, :].repeat(32, 2), rope)[0, 0, i]
+        kj = apply_rope(k[None, None, None, :].repeat(32, 2), rope)[0, 0, j]
+        return float(qi @ kj)
+    assert dot_at(5, 3) == pytest.approx(dot_at(12, 10), abs=1e-4)
+    assert dot_at(5, 3) != pytest.approx(dot_at(10, 3), abs=1e-3)
+
+
+def test_rope_3d_dim_split():
+    rope = make_rope_3d(24, (2, 4, 4))
+    assert rope.cos.shape == (32, 24)
+
+
+def test_patch_embed_matches_conv_math():
+    """PatchEmbed (reshape+dense) must equal a stride-p conv with the
+    corresponding kernel layout."""
+    p, C, D = 2, 3, 8
+    pe = PatchEmbed(p, D)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, C))
+    variables = pe.init(jax.random.PRNGKey(1), x)
+    out = pe.apply(variables, x)
+    kernel = variables["params"]["proj"]["kernel"]  # (p*p*C, D)
+    bias = variables["params"]["proj"]["bias"]
+    # manual: extract patches in the same (p, p, C) order and matmul
+    xn = np.asarray(x).reshape(1, 2, p, 2, p, C).transpose(0, 1, 3, 2, 4, 5)
+    xn = xn.reshape(1, 4, p * p * C)
+    expected = xn @ np.asarray(kernel) + np.asarray(bias)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# attention
+# ---------------------------------------------------------------------------
+
+
+def test_flash_attention_matches_exact():
+    # interpret mode emulates the MXU's reduced-precision f32 dots, so the
+    # tolerance is bf16-scale, not fp32-scale
+    q, k, v = [
+        jax.random.normal(jax.random.PRNGKey(i), (1, 2, 256, 64)) for i in range(3)
+    ]
+    exact, w = attention_with_weights(q, k, v)
+    out = flash_attention(q, k, v, False, 128, 128, True)
+    assert float(jnp.abs(out - exact).max()) < 2e-2
+    np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_flash_attention_causal():
+    q, k, v = [
+        jax.random.normal(jax.random.PRNGKey(i), (1, 1, 256, 64)) for i in range(3)
+    ]
+    exact, w = attention_with_weights(q, k, v, causal=True)
+    out = flash_attention(q, k, v, True, 128, 128, True)
+    assert float(jnp.abs(out - exact).max()) < 2e-2
+    # no attention to the future
+    assert float(np.triu(np.asarray(w[0, 0]), 1).max()) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# DiT3D
+# ---------------------------------------------------------------------------
+
+
+def test_dit3d_forward_shape_and_zero_init():
+    model = _make_model()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8, 3))
+    k = jnp.full((2, 4), 500.0)
+    _, out = _init_and_run(model, x, k)
+    assert out.shape == (2, 4, 8, 8, 3)
+    # final layer is zero-initialized: network output at init is exactly 0
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+def test_dit3d_tokenwise_conditioning():
+    """Changing one frame's noise level must change that frame's output
+    (and, with full attention, may affect others), but leaving all levels
+    equal must keep the computation deterministic."""
+    model = _make_model()
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8, 3))
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, x, jnp.zeros((1, 4)))
+    # perturb params so outputs are non-zero
+    variables = jax.tree_util.tree_map(
+        lambda a: a + 0.01 if a.dtype == jnp.float32 else a, variables
+    )
+    k1 = jnp.asarray([[100.0, 100.0, 100.0, 100.0]])
+    k2 = jnp.asarray([[100.0, 900.0, 100.0, 100.0]])
+    o1 = model.apply(variables, x, k1)
+    o2 = model.apply(variables, x, k2)
+    assert float(jnp.abs(o1 - o2)[0, 1].max()) > 1e-6
+    o1b = model.apply(variables, x, k1)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o1b))
+
+
+def test_dit3d_action_conditioning():
+    model = _make_model(external_cond_type="action", external_cond_dim=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8, 3))
+    k = jnp.zeros((1, 4))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 4))
+    variables, out = _init_and_run(model, x, k, cond)
+    variables = jax.tree_util.tree_map(
+        lambda a: a + 0.01 if a.dtype == jnp.float32 else a, variables
+    )
+    o1 = model.apply(variables, x, k, cond)
+    o2 = model.apply(variables, x, k, cond * 2)
+    assert float(jnp.abs(o1 - o2).max()) > 1e-6
+    # cond_mask drops the conditioning for masked batch elements
+    om = model.apply(variables, x, k, cond, jnp.asarray([True]))
+    om2 = model.apply(variables, x, k, cond * 2, jnp.asarray([True]))
+    np.testing.assert_allclose(np.asarray(om), np.asarray(om2), atol=1e-6)
+
+
+def test_dit3d_label_conditioning():
+    model = _make_model(
+        external_cond_type="label",
+        external_cond_dim=1,
+        external_cond_num_classes=10,
+        external_cond_dropout=0.1,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8, 3))
+    k = jnp.zeros((2, 4))
+    labels = jnp.asarray([3, 7])
+    variables, out = _init_and_run(model, x, k, labels)
+    assert out.shape == x.shape
+
+
+def test_dit3d_factorized_variant():
+    spec = DiTSpec(
+        hidden_size=64,
+        depth=2,
+        num_heads=2,
+        mlp_ratio=2.0,
+        spatial_mlp_ratio=2.0,
+        variant="factorized_attention",
+        pos_emb_type="learned_1d",
+        patch_size=2,
+        max_temporal_length=4,
+    )
+    model = _make_model(spec=spec)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8, 3))
+    _, out = _init_and_run(model, x, jnp.zeros((1, 4)))
+    assert out.shape == x.shape
+
+
+def test_dit3d_gradients_flow():
+    model = _make_model()
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8, 3))
+    k = jnp.full((1, 4), 100.0)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, x, k)
+
+    def loss(params):
+        out = model.apply({"params": params}, x, k)
+        return jnp.mean((out - x) ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    # zero-init output layer still lets gradients reach the trunk via the
+    # final-layer weight gradient; trunk grads are zero only at exact init
+    total = sum(float(jnp.abs(l).sum()) for l in leaves)
+    assert total > 0
