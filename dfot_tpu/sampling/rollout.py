@@ -1,0 +1,343 @@
+"""Long-video rollout orchestration: windows, keyframes, interpolation.
+
+Host-side driver around the jitted window sampler (sampler.py). Reproduces
+the DFoT sampling API (reference: algorithms/dfot/dfot_video.py:80-514):
+
+- ``sample_sequence``: one window (<= max_tokens), arbitrary context mask.
+- ``predict_sequence``: sliding-window autoregressive rollout.
+- ``interpolate_videos``: greedy-plan parallel infilling.
+- ``predict_videos``: keyframe pass + interpolation hierarchy.
+
+Shapes are padded to the model horizon so each distinct (B, T, S, H, G)
+signature compiles once; all plan math is numpy (see planner.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion import core as dc
+from ..guidance.history_guidance import HistoryGuidance
+from .planner import interpolation_plan, keyframe_indices, sliding_window_plan
+from .sampler import make_window_sampler, plan_sampling
+
+__all__ = ["RolloutConfig", "DFoTRollout"]
+
+
+@dataclasses.dataclass(frozen=True)
+class RolloutConfig:
+    max_tokens: int
+    x_shape: Tuple[int, ...]  # channel-last token shape, e.g. (H, W, C)
+    scheduling_matrix: str = "full_sequence"
+    is_full_sequence: bool = False
+    chunk_size: int = -1
+    use_causal_mask: bool = False
+    external_cond_type: Optional[str] = None  # label | action | None
+    sliding_context_len: Optional[int] = None
+    keyframe_density: Optional[float] = None
+    interpolation_max_batch_size: Optional[int] = None
+    refinement: Optional[dict] = None
+
+
+class DFoTRollout:
+    """Stateless (parameters passed per call) sampling driver."""
+
+    def __init__(
+        self,
+        cfg: RolloutConfig,
+        dcfg: dc.DiffusionConfig,
+        sched: dc.Schedule,
+        model_apply: Callable,
+    ):
+        self.cfg = cfg
+        self.dcfg = dcfg
+        self.sched = sched
+        self._window_fn = make_window_sampler(
+            model_apply,
+            dcfg,
+            sched,
+            replacement_only=cfg.is_full_sequence,
+            use_ddpm=not dcfg.is_ddim_sampling,
+            reconstruction_guidance=dcfg.reconstruction_guidance,
+        )
+
+    # ------------------------------------------------------------------
+    # one window
+    # ------------------------------------------------------------------
+    def sample_sequence(
+        self,
+        variables,
+        rng: jax.Array,
+        batch_size: int,
+        length: Optional[int] = None,
+        context: Optional[jax.Array] = None,
+        context_mask: Optional[np.ndarray] = None,
+        conditions: Optional[jax.Array] = None,
+        history_guidance: Optional[HistoryGuidance] = None,
+    ) -> jax.Array:
+        """Sample one window of up to max_tokens tokens.
+
+        context: (B, length, *x_shape) or None; context_mask: (B, length)
+        int {0, 1, 2} (padding added here). Returns (B, length, *x_shape).
+        """
+        cfg, dcfg = self.cfg, self.dcfg
+        if length is None:
+            length = cfg.max_tokens if context is None else context.shape[1]
+        if length > cfg.max_tokens:
+            raise ValueError(f"length {length} exceeds max_tokens {cfg.max_tokens}")
+        if (context is None) != (context_mask is None):
+            raise ValueError("context and context_mask must be given together")
+
+        horizon = length if cfg.use_causal_mask else cfg.max_tokens
+        padding = horizon - length
+        xs_shape = (batch_size, horizon) + tuple(cfg.x_shape)
+
+        rng, r_init, r_run = jax.random.split(rng, 3)
+        x_init = dc.clipped_normal(r_init, xs_shape, dcfg.clip_noise)
+
+        if context is None:
+            ctx_arr = jnp.zeros(xs_shape, x_init.dtype)
+            mask = np.zeros((batch_size, horizon), dtype=np.int64)
+        else:
+            ctx_arr = jnp.zeros(xs_shape, x_init.dtype).at[:, :length].set(context)
+            mask = np.full((batch_size, horizon), -1, dtype=np.int64)
+            mask[:, :length] = np.asarray(context_mask)
+
+        mask_dev = jnp.asarray(mask)
+        x_init = jnp.where(dc.bcast_right(mask_dev >= 1, x_init.ndim), ctx_arr, x_init)
+
+        if history_guidance is None:
+            history_guidance = HistoryGuidance.conditional(timesteps=dcfg.timesteps)
+
+        plan = plan_sampling(
+            mask,
+            history_guidance,
+            cfg.scheduling_matrix,
+            dcfg.timesteps,
+            dcfg.sampling_timesteps,
+            horizon - padding,
+            padding,
+            is_full_sequence=cfg.is_full_sequence,
+            refine=cfg.refinement,
+        )
+        plan_dev = jax.tree_util.tree_map(jnp.asarray, plan)
+        out = self._window_fn(
+            variables,
+            x_init,
+            ctx_arr,
+            plan_dev,
+            conditions,
+            r_run,
+            num_hist=plan.num_hist,
+            num_gen=plan.num_gen,
+        )
+        return out[:, :length]
+
+    # ------------------------------------------------------------------
+    # sliding-window prediction
+    # ------------------------------------------------------------------
+    def predict_sequence(
+        self,
+        variables,
+        rng: jax.Array,
+        context: jax.Array,  # (B, gt_len, *x_shape)
+        length: Optional[int] = None,
+        conditions: Optional[jax.Array] = None,
+        history_guidance: Optional[HistoryGuidance] = None,
+        sliding_context_len: Optional[int] = None,
+    ) -> jax.Array:
+        cfg = self.cfg
+        if length is None:
+            length = cfg.max_tokens
+        batch_size, gt_len = context.shape[:2]
+        windows = sliding_window_plan(
+            gt_len,
+            length,
+            cfg.max_tokens,
+            sliding_context_len
+            if sliding_context_len is not None
+            else (cfg.sliding_context_len if length > cfg.max_tokens else None),
+            cfg.chunk_size,
+            cfg.use_causal_mask,
+        )
+        xs_pred = context
+        for w in windows:
+            rng, r_w = jax.random.split(rng)
+            c, h = w.context_len, w.gen_len
+            win_ctx = jnp.concatenate(
+                [
+                    xs_pred[:, -c:],
+                    jnp.zeros((batch_size, h) + tuple(cfg.x_shape), xs_pred.dtype),
+                ],
+                axis=1,
+            )
+            win_mask = np.zeros((batch_size, c + h), dtype=np.int64)
+            win_mask[:, :c] = 1
+            if w.generated_context_len > 0:
+                win_mask[:, c - w.generated_context_len : c] = 2
+
+            cond_slice = self._slice_conditions(
+                conditions, w.start_token, c + h if cfg.use_causal_mask else cfg.max_tokens
+            )
+            new = self.sample_sequence(
+                variables,
+                r_w,
+                batch_size,
+                length=c + h,
+                context=win_ctx,
+                context_mask=win_mask,
+                conditions=cond_slice,
+                history_guidance=history_guidance,
+            )
+            xs_pred = jnp.concatenate([xs_pred, new[:, -h:]], axis=1)
+        return xs_pred
+
+    # ------------------------------------------------------------------
+    # interpolation
+    # ------------------------------------------------------------------
+    def interpolate_videos(
+        self,
+        variables,
+        rng: jax.Array,
+        context: jax.Array,  # (B, T, *x_shape)
+        context_mask: Optional[np.ndarray] = None,  # (B, T) bool
+        conditions: Optional[jax.Array] = None,
+        history_guidance: Optional[HistoryGuidance] = None,
+    ) -> jax.Array:
+        """Fill all unknown frames; see planner.interpolation_plan.
+
+        The plan is derived from batch element 0's mask (assumed shared, as
+        in the reference, dfot_video.py:198).
+        """
+        cfg = self.cfg
+        B, T = context.shape[:2]
+        if context_mask is None:
+            context_mask = np.zeros((B, T), dtype=bool)
+            context_mask[:, [0, -1]] = True
+        context_mask = np.asarray(context_mask).astype(bool)
+
+        plan = interpolation_plan(context_mask[0], cfg.max_tokens)
+        xs = context
+        known = context_mask.copy()
+        max_bs = cfg.interpolation_max_batch_size
+
+        for rnd in plan:
+            # batch all chunks of this round together
+            chunk_ctx, chunk_mask, chunk_cond = [], [], []
+            for frames in rnd:
+                n = len(frames)
+                ctx = xs[:, jnp.asarray(frames)]
+                pad = cfg.max_tokens - n
+                if pad:
+                    ctx = jnp.concatenate(
+                        [ctx, jnp.zeros((B, pad) + tuple(cfg.x_shape), ctx.dtype)], 1
+                    )
+                m = np.full((B, cfg.max_tokens), -1, dtype=np.int64)
+                m[:, :n] = known[:, frames].astype(np.int64)
+                chunk_ctx.append(ctx)
+                chunk_mask.append(m)
+                if conditions is not None:
+                    if cfg.external_cond_type == "label":
+                        chunk_cond.append(conditions)
+                    else:
+                        csel = conditions[:, jnp.asarray(frames)]
+                        if pad:
+                            cz = jnp.zeros((B, pad) + conditions.shape[2:], csel.dtype)
+                            csel = jnp.concatenate([csel, cz], 1)
+                        chunk_cond.append(csel)
+
+            all_ctx = jnp.concatenate(chunk_ctx, 0)
+            all_mask = np.concatenate(chunk_mask, 0)
+            all_cond = jnp.concatenate(chunk_cond, 0) if chunk_cond else None
+
+            # split into max_batch_size chunks to bound NFE-expanded memory
+            N = all_ctx.shape[0]
+            bs = max_bs or N
+            outs = []
+            for i0 in range(0, N, bs):
+                rng, r_c = jax.random.split(rng)
+                outs.append(
+                    self.sample_sequence(
+                        variables,
+                        r_c,
+                        min(bs, N - i0),
+                        length=cfg.max_tokens,
+                        context=all_ctx[i0 : i0 + bs],
+                        context_mask=all_mask[i0 : i0 + bs],
+                        conditions=all_cond[i0 : i0 + bs] if all_cond is not None else None,
+                        history_guidance=history_guidance,
+                    )
+                )
+            out = jnp.concatenate(outs, 0)
+            for ci, frames in enumerate(rnd):
+                pred = out[ci * B : (ci + 1) * B, : len(frames)]
+                xs = xs.at[:, jnp.asarray(frames)].set(pred)
+                known[:, frames] = True
+        return xs
+
+    # ------------------------------------------------------------------
+    # full prediction task (keyframes + interpolation)
+    # ------------------------------------------------------------------
+    def predict_videos(
+        self,
+        variables,
+        rng: jax.Array,
+        xs: jax.Array,  # (B, T, *x_shape) — context frames at the front
+        n_context_tokens: int,
+        conditions: Optional[jax.Array] = None,
+        prediction_hg: Optional[HistoryGuidance] = None,
+        interpolation_hg: Optional[HistoryGuidance] = None,
+    ) -> jax.Array:
+        cfg = self.cfg
+        B, T = xs.shape[:2]
+        density = cfg.keyframe_density or 1.0
+        keys = keyframe_indices(density, T, n_context_tokens)
+
+        key_conditions = conditions
+        if conditions is not None and cfg.external_cond_type == "action":
+            key_conditions = conditions[:, jnp.asarray(keys)]
+
+        rng, r_pred = jax.random.split(rng)
+        xs_key = self.predict_sequence(
+            variables,
+            r_pred,
+            xs[:, :n_context_tokens],
+            length=len(keys),
+            conditions=key_conditions,
+            history_guidance=prediction_hg,
+            sliding_context_len=cfg.sliding_context_len or cfg.max_tokens // 2,
+        )
+        xs_pred = xs.at[:, jnp.asarray(keys)].set(xs_key.astype(xs.dtype))
+
+        if len(keys) < T:
+            mask = np.zeros((B, T), dtype=bool)
+            mask[:, keys] = True
+            rng, r_interp = jax.random.split(rng)
+            xs_pred = self.interpolate_videos(
+                variables,
+                r_interp,
+                xs_pred,
+                mask,
+                conditions=conditions,
+                history_guidance=interpolation_hg,
+            )
+        return xs_pred
+
+    # ------------------------------------------------------------------
+    def _slice_conditions(self, conditions, start: int, length: int):
+        if conditions is None:
+            return None
+        if self.cfg.external_cond_type == "label":
+            return conditions
+        sl = conditions[:, start : start + length]
+        if sl.shape[1] < length:  # pad tail windows
+            pad = jnp.zeros(
+                (sl.shape[0], length - sl.shape[1]) + sl.shape[2:], sl.dtype
+            )
+            sl = jnp.concatenate([sl, pad], 1)
+        return sl

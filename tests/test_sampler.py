@@ -1,0 +1,156 @@
+"""End-to-end sampler tests with an oracle denoiser.
+
+The oracle predicts the exact v toward a known target video, so the full
+pipeline (scheduling -> history guidance -> denoise -> DDIM -> compose ->
+context revert) must transport noise to the target. This exercises the same
+seams the reference's sampling stack wires together (dfot_video.py:516-763).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dfot_tpu.diffusion import DiffusionConfig, make_schedule, predict_v
+from dfot_tpu.diffusion.core import _gather
+from dfot_tpu.guidance.history_guidance import HistoryGuidance
+from dfot_tpu.sampling import DFoTRollout, RolloutConfig
+
+X_SHAPE = (4, 4, 1)
+DCFG = DiffusionConfig(timesteps=1000, sampling_timesteps=5, objective="pred_v")
+SCHED = make_schedule(DCFG)
+
+# the "video" the oracle denoises toward: frame t has constant value t/10
+TARGET_FRAME_VALUES = jnp.arange(16, dtype=jnp.float32) / 10.0
+
+
+def oracle_apply(variables, x, noise_input, cond, cond_mask):
+    """Exact v-prediction toward a target.
+
+    If ``cond`` (B, T, 1) is given, the per-frame target value is the
+    condition (this lets sliding windows know absolute positions and also
+    exercises the rollout's condition-slicing path); otherwise the target is
+    the window-local frame index / 10.
+    """
+    B, T = x.shape[:2]
+    k = noise_input.astype(jnp.int32)
+    if cond is not None:
+        tgt = cond.reshape(B, T, 1, 1, 1)
+    else:
+        tgt = TARGET_FRAME_VALUES[:T].reshape(1, T, 1, 1, 1)
+    tgt = jnp.broadcast_to(tgt, x.shape).astype(x.dtype)
+    sq_ac = _gather(SCHED.sqrt_alphas_cumprod, k, x.ndim)
+    sq_om = _gather(SCHED.sqrt_one_minus_alphas_cumprod, k, x.ndim)
+    eps = (x - sq_ac * tgt) / jnp.where(sq_om == 0, 1.0, sq_om)
+    return predict_v(SCHED, tgt, k, eps)
+
+
+def _rollout(**kw):
+    cfg = dict(
+        max_tokens=4,
+        x_shape=X_SHAPE,
+        scheduling_matrix="full_sequence",
+    )
+    cfg.update(kw)
+    return DFoTRollout(RolloutConfig(**cfg), DCFG, SCHED, oracle_apply)
+
+
+def _frame_values(xs):
+    return np.asarray(xs).mean(axis=(2, 3, 4))
+
+
+def test_sample_sequence_unconditional_converges():
+    ro = _rollout()
+    out = ro.sample_sequence({}, jax.random.PRNGKey(0), batch_size=2, length=4)
+    assert out.shape == (2, 4) + X_SHAPE
+    np.testing.assert_allclose(
+        _frame_values(out), np.tile(np.arange(4) / 10.0, (2, 1)), atol=1e-3
+    )
+
+
+def test_sample_sequence_with_context_and_vanilla_hg():
+    ro = _rollout()
+    B, L = 1, 4
+    ctx = jnp.zeros((B, L) + X_SHAPE).at[:, 0].set(7.7)
+    mask = np.zeros((B, L), dtype=np.int64)
+    mask[:, 0] = 1
+    hg = HistoryGuidance.vanilla(guidance_scale=2.0, timesteps=DCFG.timesteps)
+    out = ro.sample_sequence(
+        {}, jax.random.PRNGKey(0), B, length=L, context=ctx, context_mask=mask,
+        history_guidance=hg,
+    )
+    vals = _frame_values(out)
+    # context frame preserved exactly
+    assert vals[0, 0] == pytest.approx(7.7, abs=1e-6)
+    # generated frames converge to the oracle target
+    np.testing.assert_allclose(vals[0, 1:], np.arange(1, 4) / 10.0, atol=1e-3)
+
+
+def test_sample_sequence_padding_window():
+    ro = _rollout()
+    B, L = 1, 2  # shorter than max_tokens -> padded to 4 internally
+    ctx = jnp.zeros((B, L) + X_SHAPE).at[:, 0].set(3.0)
+    mask = np.zeros((B, L), dtype=np.int64)
+    mask[:, 0] = 1
+    out = ro.sample_sequence(
+        {}, jax.random.PRNGKey(1), B, length=L, context=ctx, context_mask=mask
+    )
+    assert out.shape == (B, L) + X_SHAPE
+    assert _frame_values(out)[0, 0] == pytest.approx(3.0, abs=1e-6)
+    assert _frame_values(out)[0, 1] == pytest.approx(0.1, abs=1e-3)
+
+
+def test_predict_sequence_sliding_window():
+    ro = _rollout(sliding_context_len=2, external_cond_type="action")
+    B = 1
+    ctx = jnp.full((B, 1) + X_SHAPE, 0.0)
+    # absolute-position targets delivered via the action-condition channel
+    conds = (jnp.arange(8, dtype=jnp.float32) / 10.0).reshape(1, 8, 1)
+    out = ro.predict_sequence(
+        {}, jax.random.PRNGKey(0), ctx, length=8, conditions=conds,
+        history_guidance=HistoryGuidance.conditional(timesteps=DCFG.timesteps),
+    )
+    assert out.shape == (B, 8) + X_SHAPE
+    # windows: ctx 1 + 3 new, then slide with context 2
+    np.testing.assert_allclose(
+        _frame_values(out)[0], np.arange(8) / 10.0, atol=2e-3
+    )
+
+
+def test_interpolate_videos():
+    ro = _rollout(external_cond_type="action")
+    B, T = 1, 7
+    xs = jnp.zeros((B, T) + X_SHAPE)
+    xs = xs.at[:, 0].set(0.0).at[:, 6].set(0.6)
+    mask = np.zeros((B, T), dtype=bool)
+    mask[:, [0, 6]] = True
+    conds = (jnp.arange(T, dtype=jnp.float32) / 10.0).reshape(1, T, 1)
+    out = ro.interpolate_videos({}, jax.random.PRNGKey(0), xs, mask, conditions=conds)
+    vals = _frame_values(out)[0]
+    np.testing.assert_allclose(vals, np.arange(7) / 10.0, atol=2e-3)
+
+
+def test_predict_videos_keyframes_plus_interpolation():
+    ro = _rollout(
+        keyframe_density=0.5, sliding_context_len=2, external_cond_type="action"
+    )
+    B, T = 1, 8
+    xs = jnp.zeros((B, T) + X_SHAPE)
+    conds = (jnp.arange(T, dtype=jnp.float32) / 10.0).reshape(1, T, 1)
+    out = ro.predict_videos(
+        {}, jax.random.PRNGKey(0), xs, n_context_tokens=1, conditions=conds,
+        prediction_hg=HistoryGuidance.conditional(timesteps=DCFG.timesteps),
+        interpolation_hg=HistoryGuidance.conditional(timesteps=DCFG.timesteps),
+    )
+    assert out.shape == (B, T) + X_SHAPE
+    np.testing.assert_allclose(
+        _frame_values(out)[0], np.arange(8) / 10.0, atol=3e-3
+    )
+
+
+def test_pyramid_scheduling_window():
+    ro = _rollout(scheduling_matrix="autoregressive")
+    out = ro.sample_sequence({}, jax.random.PRNGKey(0), batch_size=1, length=4)
+    np.testing.assert_allclose(
+        _frame_values(out)[0], np.arange(4) / 10.0, atol=2e-3
+    )
