@@ -1,0 +1,103 @@
+"""Benchmark: DFoT sampling throughput (frames/sec/chip).
+
+Measures the reference quick-start workload shape — single-image ->
+8-frame video window (BASELINE.md row 2: "<1 min on 1 GPU") — through the
+full jitted sampling stack: 50 DDIM steps x NFE=2 (vanilla history guidance,
+guidance_scale 4.0) backbone evaluations, per-token noise levels, context
+revert. Backbone: DiT-S/2 over 8x32x32x4 latent tokens (2048 tokens/window).
+
+Baseline: the reference generates 8 frames in <60 s on one A100-class GPU
+(README.md:72-74) => 0.133 frames/sec/GPU. vs_baseline reports our
+frames/sec/chip divided by that.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true", help="CPU smoke test")
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.tiny:
+        jax.config.update("jax_platforms", "cpu")
+
+    from dfot_tpu.diffusion import DiffusionConfig, make_schedule
+    from dfot_tpu.guidance.history_guidance import HistoryGuidance
+    from dfot_tpu.models.dit import DiT3D, DiTSpec
+    from dfot_tpu.sampling import DFoTRollout, RolloutConfig
+
+    if args.tiny:
+        spec = DiTSpec(hidden_size=64, depth=2, num_heads=2, mlp_ratio=2.0,
+                       variant="full", pos_emb_type="rope_3d", patch_size=2,
+                       max_temporal_length=4)
+        res, ch, T, steps = (8, 8), 4, 4, 5
+    else:
+        spec = DiTSpec(hidden_size=384, depth=12, num_heads=6, mlp_ratio=4.0,
+                       variant="full", pos_emb_type="rope_3d", patch_size=2,
+                       max_temporal_length=8)
+        res, ch, T, steps = (32, 32), 4, 8, 50
+
+    dcfg = DiffusionConfig(timesteps=1000, sampling_timesteps=steps,
+                           objective="pred_v", clip_noise=20.0)
+    sched = make_schedule(dcfg)
+    model = DiT3D(spec=spec, x_channels=ch, resolution=res, dtype=jnp.bfloat16)
+
+    x0 = jnp.zeros((1, T, res[0], res[1], ch))
+    k0 = jnp.zeros((1, T))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x0, k0
+    )
+
+    def model_apply(variables, x, noise_levels, cond, cond_mask):
+        return model.apply(variables, x, noise_levels, cond, cond_mask)
+
+    ro = DFoTRollout(
+        RolloutConfig(max_tokens=T, x_shape=(res[0], res[1], ch)),
+        dcfg, sched, model_apply,
+    )
+    hg = HistoryGuidance.vanilla(guidance_scale=4.0, timesteps=dcfg.timesteps)
+
+    n_context = 1
+    ctx = jnp.zeros((1, T, res[0], res[1], ch))
+    mask = np.zeros((1, T), dtype=np.int64)
+    mask[:, :n_context] = 1
+
+    def run(seed):
+        out = ro.sample_sequence(
+            variables, jax.random.PRNGKey(seed), 1, length=T,
+            context=ctx, context_mask=mask, history_guidance=hg,
+        )
+        jax.block_until_ready(out)
+        return out
+
+    run(0)  # compile
+    times = []
+    for i in range(args.repeats):
+        t0 = time.perf_counter()
+        run(i + 1)
+        times.append(time.perf_counter() - t0)
+
+    gen_frames = T - n_context
+    fps = gen_frames / min(times)
+    baseline_fps = 8.0 / 60.0  # reference: 8 frames in <1 min on 1 GPU
+    print(json.dumps({
+        "metric": "frames_per_sec_chip_8f_window_50ddim_nfe2",
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / baseline_fps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+"""Training-step tests: noise levels, optimization, EMA, mesh sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dfot_tpu.diffusion import DiffusionConfig, make_schedule
+from dfot_tpu.parallel import make_mesh, param_sharding_rule, shard_batch, shard_params
+from dfot_tpu.training import (
+    NoiseLevelConfig,
+    create_train_state,
+    make_lr_schedule,
+    make_optimizer,
+    make_train_step,
+    training_noise_levels,
+)
+
+
+def test_noise_levels_random_independent():
+    cfg = NoiseLevelConfig(noise_level="random_independent", timesteps=100)
+    mask = jnp.ones((4, 8), bool).at[0, 6:].set(False)
+    k, loss_mask = training_noise_levels(jax.random.PRNGKey(0), cfg, mask)
+    k = np.asarray(k)
+    assert k.shape == (4, 8) and k.min() >= 0 and k.max() <= 99
+    # unavailable frames forced to max noise, still excluded from loss
+    assert (k[0, 6:] == 99).all()
+    assert not np.asarray(loss_mask)[0, 6:].any()
+    # iid: not all equal within a row
+    assert len(np.unique(k[1])) > 1
+
+
+def test_noise_levels_random_uniform_and_interleaved():
+    mask = jnp.ones((3, 6), bool)
+    cfg_u = NoiseLevelConfig(noise_level="random_uniform", timesteps=100)
+    k, _ = training_noise_levels(jax.random.PRNGKey(1), cfg_u, mask)
+    assert (np.asarray(k) == np.asarray(k)[:, :1]).all()
+    cfg_i = NoiseLevelConfig(noise_level="interleaved", timesteps=100)
+    k, _ = training_noise_levels(jax.random.PRNGKey(2), cfg_i, mask)
+    k = np.asarray(k)
+    assert (k[:, 0] == k[:, 2]).all() and (k[:, 1] == k[:, 3]).all()
+
+
+def test_noise_levels_fixed_context():
+    cfg = NoiseLevelConfig(
+        noise_level="random_independent",
+        timesteps=100,
+        n_context_tokens=2,
+        fixed_context=True,
+        fixed_context_dropout=0.0,
+    )
+    mask = jnp.ones((2, 6), bool)
+    k, loss_mask = training_noise_levels(jax.random.PRNGKey(0), cfg, mask)
+    # context tokens clean (level 0), excluded from loss
+    assert (np.asarray(k)[:, :2] == 0).all()
+    assert not np.asarray(loss_mask)[:, :2].any()
+    assert np.asarray(loss_mask)[:, 2:].all()
+
+
+def test_lr_schedule_warmup():
+    s = make_lr_schedule("constant_with_warmup", 1e-3, 100)
+    assert float(s(0)) == 0.0
+    assert float(s(50)) == np.float32(5e-4)
+    assert float(s(100)) == np.float32(1e-3)
+    assert float(s(10_000)) == np.float32(1e-3)
+
+
+def _tiny_setup():
+    from dfot_tpu.models.dit import DiT3D, DiTSpec
+
+    spec = DiTSpec(
+        hidden_size=32, depth=1, num_heads=2, mlp_ratio=1.0,
+        variant="full", pos_emb_type="rope_3d", patch_size=2,
+        max_temporal_length=2,
+    )
+    model = DiT3D(spec=spec, x_channels=1, resolution=(4, 4))
+    x = jnp.zeros((2, 2, 4, 4, 1))
+    k = jnp.zeros((2, 2))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x, k
+    )
+
+    def model_apply(params, x, noise_levels, cond, cond_mask, rngs=None, train=False):
+        return model.apply(
+            {"params": params}, x, noise_levels, cond, cond_mask, train=train, rngs=rngs
+        )
+
+    dcfg = DiffusionConfig(timesteps=50, sampling_timesteps=10, objective="pred_v",
+                           loss_weighting_strategy="uniform")
+    sched = make_schedule(dcfg)
+    nl_cfg = NoiseLevelConfig(noise_level="random_independent", timesteps=50)
+    return model_apply, variables["params"], dcfg, sched, nl_cfg
+
+
+def test_train_step_updates_params_and_ema():
+    model_apply, params, dcfg, sched, nl_cfg = _tiny_setup()
+    tx = make_optimizer(lr=1e-2, num_warmup_steps=0, lr_schedule_name="constant")
+    state = create_train_state(params, tx, use_ema=True)
+    step = make_train_step(model_apply, dcfg, sched, nl_cfg, ema_decay=0.5)
+    batch = {
+        "xs": jnp.ones((2, 2, 4, 4, 1)) * 0.3,
+        "masks": jnp.ones((2, 2), bool),
+    }
+    losses = []
+    for i in range(3):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert int(state.step) == 3
+    assert all(np.isfinite(losses))
+    # params moved away from init
+    d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()), state.params, params)
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+    # EMA trails params but also moved
+    de = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.ema_params, params
+    )
+    assert max(jax.tree_util.tree_leaves(de)) > 0
+
+
+def test_param_sharding_rule():
+    from jax.sharding import PartitionSpec as P
+
+    assert param_sharding_rule("w", (4, 4), 1) == P()
+    assert param_sharding_rule("w", (8,), 4, min_size=4) == P("fsdp")
+    assert param_sharding_rule("w", (512, 1024), 4, min_size=16) == P(None, "fsdp")
+    assert param_sharding_rule("w", (3, 5), 4, min_size=1) == P()  # indivisible
+
+
+def test_train_step_on_8_device_mesh(cpu_mesh_devices):
+    model_apply, params, dcfg, sched, nl_cfg = _tiny_setup()
+    tx = make_optimizer(lr=1e-3, num_warmup_steps=0, lr_schedule_name="constant")
+    step = make_train_step(model_apply, dcfg, sched, nl_cfg)
+    mesh = make_mesh((4, 2))
+    with mesh:
+        p_sh = shard_params(params, mesh, min_size=64)
+        params_s = jax.tree_util.tree_map(jax.device_put, params, p_sh)
+        state = create_train_state(params_s, tx, use_ema=True)
+        batch = shard_batch(
+            {"xs": np.ones((8, 2, 4, 4, 1), np.float32), "masks": np.ones((8, 2), bool)},
+            mesh,
+        )
+        state, m = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(m["loss"]))
+        assert int(state.step) == 1
