@@ -1,0 +1,347 @@
+"""DFoT video algorithm: config -> model + trainer + sampler wiring.
+
+Functional counterpart of the reference's LightningModule stack
+(algorithms/dfot/dfot_video.py + algorithms/common/base_pytorch_video_algo.py):
+owns frame<->token bookkeeping, data normalization, the denoiser backbone,
+the diffusion schedule, training noise levels, and the rollout driver. All
+state lives in explicit pytrees; methods are thin wrappers over the pure
+jitted functions in diffusion/, sampling/, training/.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..diffusion import DiffusionConfig, make_schedule
+from ..guidance.history_guidance import HistoryGuidance
+from ..sampling import DFoTRollout, RolloutConfig
+from ..training import (
+    NoiseLevelConfig,
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+from ..utils.geometry import conditioning_dim, process_camera_conditions
+
+__all__ = ["DFoTVideoAlgo", "DFoTVideoPoseAlgo", "build_algorithm"]
+
+
+class DFoTVideoAlgo:
+    """Diffusion Forcing Transformer for video generation."""
+
+    is_pose_conditioned = False
+
+    def __init__(self, cfg: Config, compute_dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.compute_dtype = compute_dtype
+
+        # ---- frame/token bookkeeping (reference
+        # base_pytorch_video_algo.py:986-1033) --------------------------------
+        latent = cfg.latent
+        self.is_latent = bool(latent.enabled)
+        self.temporal_downsampling = (
+            latent.downsampling_factor[0] if self.is_latent else 1
+        )
+        c, h, w = cfg.x_shape
+        if self.is_latent:
+            ds = latent.downsampling_factor[1]
+            c = latent.num_channels
+            h, w = h // ds, w // ds
+        self.x_shape = (h, w, c)  # channel-last token shape
+        self.max_tokens = self._frames_to_tokens(cfg.max_frames)
+        self.n_tokens = self._frames_to_tokens(cfg.n_frames)
+        self.n_context_tokens = self._frames_to_tokens(cfg.context_frames) if cfg.context_frames else 0
+
+        # data normalization buffers (channel-last)
+        self.data_mean = self._stat(cfg.get("data_mean"))
+        self.data_std = self._stat(cfg.get("data_std"))
+
+        # ---- diffusion -------------------------------------------------------
+        self.dcfg = DiffusionConfig.from_config(cfg.diffusion)
+        self.sched = make_schedule(self.dcfg)
+
+        # ---- backbone --------------------------------------------------------
+        self.model = self._build_backbone()
+
+        # ---- rollout ---------------------------------------------------------
+        pred = cfg.tasks.prediction
+        interp = cfg.tasks.interpolation
+        self.rollout_cfg = RolloutConfig(
+            max_tokens=self.max_tokens,
+            x_shape=self.x_shape,
+            scheduling_matrix=cfg.scheduling_matrix,
+            is_full_sequence=self.is_full_sequence,
+            chunk_size=cfg.chunk_size,
+            use_causal_mask=self.dcfg.use_causal_mask,
+            external_cond_type=cfg.get("external_cond_type"),
+            sliding_context_len=pred.get("sliding_context_len"),
+            keyframe_density=pred.get("keyframe_density"),
+            interpolation_max_batch_size=interp.get("max_batch_size"),
+            refinement=(
+                dict(cfg.refinement_sampling.to_dict())
+                if cfg.refinement_sampling.enabled
+                else None
+            ),
+        )
+        self.rollout = DFoTRollout(
+            self.rollout_cfg, self.dcfg, self.sched, self._sample_apply
+        )
+        self.prediction_hg_cfg = pred.history_guidance
+        self.interpolation_hg_cfg = interp.history_guidance
+
+        # ---- training --------------------------------------------------------
+        self.nl_cfg = NoiseLevelConfig.from_config(
+            cfg, self.dcfg.timesteps, self.n_context_tokens
+        )
+
+    # ------------------------------------------------------------------
+    # bookkeeping
+    # ------------------------------------------------------------------
+    def _frames_to_tokens(self, n_frames: int) -> int:
+        return (n_frames - 1) // self.temporal_downsampling + 1
+
+    def _tokens_to_frames(self, n_tokens: int) -> int:
+        return (n_tokens - 1) * self.temporal_downsampling + 1
+
+    @property
+    def is_full_sequence(self) -> bool:
+        """Full-sequence baseline: uniform noise + full_sequence matrix
+        (context is re-noised rather than pinned; reference semantics)."""
+        return (
+            self.cfg.noise_level == "random_uniform"
+            and self.cfg.scheduling_matrix == "full_sequence"
+            and not self.cfg.fixed_context.enabled
+            and not self.cfg.variable_context.enabled
+        )
+
+    def _stat(self, value) -> Optional[np.ndarray]:
+        if value is None or isinstance(value, str):
+            return None
+        arr = np.asarray(value, dtype=np.float32)  # (C, 1, 1) in the configs
+        if arr.ndim == 3:
+            arr = arr.transpose(1, 2, 0)  # -> (1, 1, C)
+        return arr
+
+    def normalize(self, x: jax.Array) -> jax.Array:
+        if self.data_mean is None:
+            return x
+        return (x - self.data_mean) / self.data_std
+
+    def unnormalize(self, x: jax.Array) -> jax.Array:
+        if self.data_mean is None:
+            return x
+        return x * self.data_std + self.data_mean
+
+    # ------------------------------------------------------------------
+    # backbone
+    # ------------------------------------------------------------------
+    def _build_backbone(self):
+        """Backbone factory (reference: discrete_diffusion.py:64-92)."""
+        bcfg = self.cfg.backbone
+        name = bcfg.name
+        h, w, c = self.x_shape
+        common = dict(
+            x_channels=c,
+            external_cond_type=self.cfg.get("external_cond_type"),
+            external_cond_dim=self.cfg.get("external_cond_dim") or 0,
+            external_cond_num_classes=self.cfg.get("external_cond_num_classes"),
+            external_cond_dropout=bcfg.get("external_cond_dropout", 0.0),
+            use_fourier_noise_emb=bcfg.get("use_fourier_noise_embedding", False),
+            dtype=self.compute_dtype,
+        )
+        if name in ("dit3d", "dit3d_pose", "difference_dit3d"):
+            from ..models.dit import DiT3D, DiTSpec
+
+            spec = DiTSpec(
+                hidden_size=bcfg.hidden_size,
+                depth=bcfg.depth,
+                num_heads=bcfg.num_heads,
+                mlp_ratio=bcfg.mlp_ratio,
+                spatial_mlp_ratio=bcfg.get("spatial_mlp_ratio"),
+                variant=bcfg.variant,
+                pos_emb_type=bcfg.pos_emb_type,
+                patch_size=bcfg.patch_size,
+                max_temporal_length=self.max_tokens,
+                use_gradient_checkpointing=bcfg.get("use_gradient_checkpointing", False),
+                causal=self.dcfg.use_causal_mask,
+            )
+            return DiT3D(spec=spec, resolution=(h, w), **common)
+        if name in ("u_vit3d", "u_vit3d_pose"):
+            from ..models.uvit import UViT3D, UViT3DPose, UViTSpec
+
+            spec = UViTSpec.from_config(bcfg, self.max_tokens)
+            cls = UViT3DPose if name == "u_vit3d_pose" else UViT3D
+            if name == "u_vit3d_pose":
+                common["external_cond_dim"] = conditioning_dim(
+                    self.cfg.camera_pose_conditioning.type
+                )
+                common["external_cond_type"] = "pose"
+            return cls(spec=spec, resolution=h, **common)
+        raise NotImplementedError(f"backbone {name!r} not yet available")
+
+    def init_params(self, rng: jax.Array) -> Dict:
+        B, T = 1, self.max_tokens
+        h, w, c = self.x_shape
+        x = jnp.zeros((B, T, h, w, c))
+        k = jnp.zeros((B, T))
+        cond = self._dummy_condition(B, T)
+        rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1)}
+        return self.model.init(rngs, x, k, cond, None)
+
+    def _dummy_condition(self, B: int, T: int):
+        ect = self.cfg.get("external_cond_type")
+        if not ect:
+            return None
+        if ect == "label":
+            return jnp.zeros((B,), jnp.int32)
+        dim = self.cfg.get("external_cond_dim") or 0
+        return jnp.zeros((B, T, dim))
+
+    # ------------------------------------------------------------------
+    # model apply adapters
+    # ------------------------------------------------------------------
+    def _sample_apply(self, variables, x, noise_levels, cond, cond_mask):
+        return self.model.apply(variables, x, noise_levels, cond, cond_mask)
+
+    def _train_apply(self, params, x, noise_levels, cond, cond_mask, rngs=None, train=False):
+        return self.model.apply(
+            {"params": params}, x, noise_levels, cond, cond_mask, train=train, rngs=rngs
+        )
+
+    # ------------------------------------------------------------------
+    # conditions
+    # ------------------------------------------------------------------
+    def process_conditions(
+        self, conditions: Optional[np.ndarray], noise_levels: Optional[np.ndarray] = None
+    ):
+        """Hook for condition preprocessing (identity here; pose subclass
+        converts raw camera vectors to rays)."""
+        return conditions
+
+    # ------------------------------------------------------------------
+    # training
+    # ------------------------------------------------------------------
+    def make_train_state(self, rng: jax.Array, accumulate_steps: int = 1,
+                         num_training_steps: Optional[int] = None):
+        variables = self.init_params(rng)
+        exp = self.cfg
+        tx = make_optimizer(
+            lr=exp.lr,
+            weight_decay=exp.weight_decay,
+            betas=tuple(exp.optimizer_beta),
+            grad_clip=1.0,
+            lr_schedule_name=exp.lr_scheduler.name,
+            num_warmup_steps=exp.lr_scheduler.num_warmup_steps,
+            num_training_steps=exp.lr_scheduler.get("num_training_steps", num_training_steps),
+            accumulate_steps=accumulate_steps,
+        )
+        return create_train_state(variables["params"], tx, use_ema=True)
+
+    def make_train_step(self, ema_decay: float = 0.9999):
+        return make_train_step(
+            self._train_apply, self.dcfg, self.sched, self.nl_cfg, ema_decay
+        )
+
+    # ------------------------------------------------------------------
+    # sampling (validation / generation)
+    # ------------------------------------------------------------------
+    def sample_videos(
+        self,
+        params: Dict,
+        rng: jax.Array,
+        xs: jax.Array,  # (B, T, h, w, c) normalized tokens
+        conditions: Optional[np.ndarray] = None,
+        tasks: Optional[Tuple[str, ...]] = None,
+        n_context_tokens: Optional[int] = None,
+    ) -> Dict[str, jax.Array]:
+        """Run the configured generation tasks (reference dfot_video.py:80-112)."""
+        if tasks is None:
+            tasks = tuple(
+                t for t in ("prediction", "interpolation")
+                if self.cfg.tasks[t].enabled
+            )
+        nct = n_context_tokens if n_context_tokens is not None else self.n_context_tokens
+        variables = {"params": params}
+        conds = self.process_conditions(conditions)
+        if conds is not None and not isinstance(conds, jax.Array):
+            conds = jnp.asarray(conds)
+
+        out: Dict[str, jax.Array] = {"gt": xs}
+        for task in tasks:
+            rng, r_t = jax.random.split(rng)
+            if task == "prediction":
+                hg = HistoryGuidance.from_config(
+                    self.prediction_hg_cfg, timesteps=self.dcfg.timesteps
+                )
+                interp_hg = HistoryGuidance.from_config(
+                    self.interpolation_hg_cfg, timesteps=self.dcfg.timesteps
+                )
+                out[task] = self.rollout.predict_videos(
+                    variables, r_t, xs, nct, conds,
+                    prediction_hg=hg, interpolation_hg=interp_hg,
+                )
+            elif task == "interpolation":
+                hg = HistoryGuidance.from_config(
+                    self.interpolation_hg_cfg, timesteps=self.dcfg.timesteps
+                )
+                out[task] = self.rollout.interpolate_videos(
+                    variables, r_t, xs, None, conds, history_guidance=hg
+                )
+            else:
+                raise ValueError(f"unknown task {task}")
+        return out
+
+
+class DFoTVideoPoseAlgo(DFoTVideoAlgo):
+    """Camera-pose conditioned DFoT (reference: dfot_video_pose.py)."""
+
+    is_pose_conditioned = True
+
+    def __init__(self, cfg: Config, compute_dtype=jnp.bfloat16):
+        if cfg.backbone.name not in ("dit3d_pose", "u_vit3d_pose"):
+            raise ValueError(
+                "pose-conditioned DFoT requires a pose backbone, got "
+                f"{cfg.backbone.name}"
+            )
+        super().__init__(cfg, compute_dtype)
+
+    def process_conditions(self, conditions, noise_levels=None):
+        if conditions is None:
+            return None
+        cpc = self.cfg.camera_pose_conditioning
+        interp_mask = None
+        if (
+            noise_levels is not None
+            and self.prediction_hg_cfg.name == "temporal"
+        ):
+            interp_mask = np.asarray(noise_levels) == self.dcfg.timesteps - 1
+        return process_camera_conditions(
+            np.asarray(conditions, dtype=np.float32),
+            conditioning_type=cpc.type,
+            normalize_by=cpc.normalize_by,
+            bound=cpc.get("bound"),
+            resolution=self.cfg.x_shape[1] if not self.is_latent else self.x_shape[0],
+            interpolation_mask=interp_mask,
+        )
+
+    def _dummy_condition(self, B, T):
+        res = self.cfg.x_shape[1] if not self.is_latent else self.x_shape[0]
+        return jnp.zeros(
+            (B, T, res, res, conditioning_dim(self.cfg.camera_pose_conditioning.type))
+        )
+
+
+def build_algorithm(cfg: Config, compute_dtype=jnp.bfloat16):
+    """Algorithm registry (reference: algorithms/__init__.py)."""
+    name = cfg.algorithm.get("_name", "dfot_video")
+    algo_cfg = cfg.algorithm
+    if name in ("dfot_video", "gibbs_dfot_video"):
+        return DFoTVideoAlgo(algo_cfg, compute_dtype)
+    if name == "dfot_video_pose":
+        return DFoTVideoPoseAlgo(algo_cfg, compute_dtype)
+    raise NotImplementedError(f"algorithm {name!r} not yet available")

@@ -1,0 +1,83 @@
+"""Host data pipeline: batching iterator with background prefetch.
+
+Replaces the reference's torch DataLoader workers (base_data_module.py:33-98)
+with a thread-prefetched numpy batcher: TPU hosts feed the device via
+jax.device_put, so the pipeline's job is to keep one batch ahead of the
+jitted step, not to saturate many CPU cores.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+__all__ = ["DataLoader"]
+
+
+def _collate(items) -> Dict[str, np.ndarray]:
+    out = {}
+    for key in items[0]:
+        out[key] = np.stack([it[key] for it in items])
+    return out
+
+
+class DataLoader:
+    """Minimal epoch-based loader: shuffle, batch, prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = True,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _index_order(self) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(order)
+        return order
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._index_order()
+        self.epoch += 1
+        n_batches = len(self)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for b in range(n_batches):
+                    if stop.is_set():
+                        return
+                    idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+                    q.put(_collate([self.dataset[int(i)] for i in idx]))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()

@@ -1,0 +1,264 @@
+"""Video datasets: clip sampling over on-disk npz/npy videos (+ synthetic).
+
+Storage contract (mirrors the reference's directory layout,
+datasets/video/base_video.py:18-264): ``{save_dir}/{split}/`` holds one file
+per video; metadata (paths + lengths) is scanned once and cached to
+``{save_dir}/metadata/{split}.npz``. Latents live in
+``{save_dir}_latent_{resolution}{suffix}/{split}/``.
+
+Supported on-disk formats on this host (no mp4 decoders in the image):
+- ``.npz`` with a ``video`` array (T, H, W, C) uint8 and optional ``actions``
+  (DMLab/Minecraft-style; reference dmlab.py:19-60),
+- ``.npy`` raw video arrays,
+- preprocessed latents as ``.npy``.
+
+``SyntheticVideoDataset`` generates deterministic moving-gradient videos for
+tests, smoke runs, and benchmarks.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from .clips import (
+    build_idx_remap,
+    clip_location,
+    cumulative_clip_sizes,
+    stack_external_cond,
+)
+
+__all__ = ["VideoDataset", "SyntheticVideoDataset", "build_dataset"]
+
+
+class VideoDataset:
+    """Clip-sampling dataset over variable-length videos.
+
+    Returns dicts of numpy arrays:
+      videos      (T, H, W, C) float32 in [0, 1]  (unless latent-only training)
+      latents     (T, h, w, c) float32            (if latents enabled)
+      conds       (T, D) float32                  (if external conditioning)
+      nonterminal (T,) bool                       (False on padding frames)
+    """
+
+    def __init__(self, cfg, split: str = "training", current_epoch: Optional[int] = None):
+        self.cfg = cfg
+        self.split = split
+        self.save_dir = str(cfg.save_dir)
+        self.resolution = cfg.resolution
+        self.frame_skip = cfg.frame_skip
+        self.external_cond_dim = cfg.external_cond_dim or 0
+        self.external_cond_stack = bool(cfg.get("external_cond_stack", False))
+        self.latent_enabled = bool(cfg.latent.enabled)
+        self.latent_pre_sampled = self.latent_enabled and str(
+            cfg.latent.type
+        ).startswith("pre_")
+
+        n_tokens = cfg.max_frames if split == "training" else cfg.n_frames
+        self.n_frames = 1 + (n_tokens - 1) * cfg.frame_skip
+
+        self.metadata = self._load_metadata()
+        min_len = (
+            self.n_frames
+            if split == "training" or cfg.filter_min_len is None
+            else cfg.filter_min_len
+        )
+        self.metadata = [m for m in self.metadata if m["length"] >= min_len]
+        if not self.metadata:
+            raise FileNotFoundError(
+                f"no videos of length >= {min_len} under {self.save_dir}/{split}"
+            )
+
+        self.cumulative_sizes = cumulative_clip_sizes(
+            [m["length"] for m in self.metadata], self.n_frames
+        )
+        sub = cfg.get("subdataset_size")
+        sub = None if isinstance(sub, str) else sub  # '???' placeholder
+        self.idx_remap = build_idx_remap(
+            self.cumulative_sizes,
+            subdataset_size=sub if split == "training" else None,
+            current_subepoch=current_epoch if split == "training" else None,
+            num_eval_videos=cfg.get("num_eval_videos") if split != "training" else None,
+        )
+
+    # -- metadata ----------------------------------------------------------
+    def _split_dir(self) -> str:
+        return os.path.join(self.save_dir, self.split)
+
+    def _load_metadata(self) -> List[Dict[str, Any]]:
+        cache = os.path.join(self.save_dir, "metadata", f"{self.split}.npz")
+        if os.path.exists(cache):
+            data = np.load(cache, allow_pickle=True)
+            return [
+                {"path": str(p), "length": int(l)}
+                for p, l in zip(data["paths"], data["lengths"])
+            ]
+        split_dir = self._split_dir()
+        if not os.path.isdir(split_dir):
+            raise FileNotFoundError(f"dataset split directory not found: {split_dir}")
+        metadata = []
+        for name in sorted(os.listdir(split_dir)):
+            path = os.path.join(split_dir, name)
+            if name.endswith(".npz"):
+                with np.load(path) as z:
+                    length = z["video"].shape[0]
+            elif name.endswith(".npy"):
+                length = np.load(path, mmap_mode="r").shape[0]
+            else:
+                continue
+            metadata.append({"path": path, "length": length})
+        os.makedirs(os.path.join(self.save_dir, "metadata"), exist_ok=True)
+        np.savez(
+            cache,
+            paths=np.asarray([m["path"] for m in metadata]),
+            lengths=np.asarray([m["length"] for m in metadata]),
+        )
+        return metadata
+
+    # -- loading -----------------------------------------------------------
+    def _load_video(self, meta, start: int, end: int) -> np.ndarray:
+        path = meta["path"]
+        if path.endswith(".npz"):
+            with np.load(path) as z:
+                video = z["video"][start:end]
+        else:
+            video = np.load(path, mmap_mode="r")[start:end]
+        video = np.asarray(video)
+        if video.dtype == np.uint8:
+            video = video.astype(np.float32) / 255.0
+        return video
+
+    def _load_cond(self, meta, start: int, end: int) -> Optional[np.ndarray]:
+        if not self.external_cond_dim:
+            return None
+        path = meta["path"]
+        if path.endswith(".npz"):
+            with np.load(path) as z:
+                if "actions" in z:
+                    return z["actions"][start:end].astype(np.float32)
+                if "conds" in z:
+                    return z["conds"][start:end].astype(np.float32)
+        raise FileNotFoundError(f"no conditions found in {path}")
+
+    def _load_latent(self, meta, start: int, end: int) -> np.ndarray:
+        latent_dir = f"{self.save_dir}_latent_{self.resolution}"
+        base = os.path.splitext(os.path.basename(meta["path"]))[0]
+        path = os.path.join(latent_dir, self.split, base + ".npy")
+        return np.load(path, mmap_mode="r")[start:end].astype(np.float32)
+
+    # -- dataset protocol ----------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.idx_remap)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        video_idx, start = clip_location(self.cumulative_sizes, self.idx_remap, idx)
+        meta = self.metadata[video_idx]
+        end = min(start + self.n_frames, meta["length"])
+
+        out: Dict[str, np.ndarray] = {}
+        video = latent = cond = None
+        if self.latent_pre_sampled:
+            latent = self._load_latent(meta, start, end)
+            if self.split != "training":
+                video = self._load_video(meta, start, end)
+            if self.external_cond_dim:
+                cond = self._load_cond(meta, start, end)
+        else:
+            video = self._load_video(meta, start, end)
+            if self.external_cond_dim:
+                cond = self._load_cond(meta, start, end)
+
+        length = next(len(a) for a in (video, latent, cond) if a is not None)
+        pad = self.n_frames - length
+        nonterminal = np.ones(self.n_frames, dtype=bool)
+        if pad > 0:
+            nonterminal[-pad:] = False
+
+        def pad_t(a):
+            if a is None or pad == 0:
+                return a
+            return np.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+
+        video, latent, cond = pad_t(video), pad_t(latent), pad_t(cond)
+        if self.frame_skip > 1:
+            if video is not None:
+                video = video[:: self.frame_skip]
+            if latent is not None:
+                latent = latent[:: self.frame_skip]
+            nonterminal = nonterminal[:: self.frame_skip]
+        if cond is not None:
+            cond = (
+                stack_external_cond(cond, self.frame_skip)
+                if self.external_cond_stack
+                else cond[:: self.frame_skip]
+                if self.frame_skip > 1 and cond.shape[0] != nonterminal.shape[0]
+                else cond
+            )
+            # per-video labels stay scalar
+            out["conds"] = cond
+
+        if video is not None:
+            out["videos"] = video.astype(np.float32)
+        if latent is not None:
+            out["latents"] = latent
+        out["nonterminal"] = nonterminal
+        return out
+
+
+class SyntheticVideoDataset:
+    """Deterministic moving-gradient videos for tests and smoke runs."""
+
+    def __init__(
+        self,
+        num_videos: int = 16,
+        n_frames: int = 8,
+        resolution: int = 16,
+        channels: int = 3,
+        cond_dim: int = 0,
+        seed: int = 0,
+    ):
+        self.num_videos = num_videos
+        self.n_frames = n_frames
+        self.resolution = resolution
+        self.channels = channels
+        self.cond_dim = cond_dim
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.num_videos
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        rng = np.random.RandomState(self.seed + idx)
+        r = self.resolution
+        phase = rng.uniform(0, 2 * np.pi)
+        speed = rng.uniform(0.1, 0.5)
+        t = np.arange(self.n_frames)[:, None, None, None]
+        yy = np.linspace(0, 2 * np.pi, r)[None, :, None, None]
+        xx = np.linspace(0, 2 * np.pi, r)[None, None, :, None]
+        video = 0.5 + 0.5 * np.sin(xx + yy + phase + speed * t)
+        video = np.broadcast_to(video, (self.n_frames, r, r, self.channels))
+        out = {
+            "videos": video.astype(np.float32),
+            "nonterminal": np.ones(self.n_frames, dtype=bool),
+        }
+        if self.cond_dim:
+            out["conds"] = rng.randn(self.n_frames, self.cond_dim).astype(np.float32)
+        return out
+
+
+def build_dataset(cfg, split: str = "training", current_epoch: Optional[int] = None):
+    """Dataset factory from the ``dataset`` config node. Falls back to
+    synthetic data when the dataset directory is absent (zero-egress hosts)."""
+    name = cfg.get("_name", "")
+    if name == "synthetic" or not os.path.isdir(str(cfg.save_dir)):
+        return SyntheticVideoDataset(
+            num_videos=cfg.get("num_eval_videos") or 16,
+            n_frames=1 + ((cfg.max_frames if split == "training" else cfg.n_frames) - 1)
+            * cfg.frame_skip,
+            resolution=cfg.resolution,
+            channels=cfg.observation_shape[0],
+            cond_dim=cfg.external_cond_dim or 0,
+        )
+    return VideoDataset(cfg, split, current_epoch)

@@ -1,0 +1,244 @@
+"""Video-generation experiment: the training/validation driver.
+
+Replaces the reference's HF-Accelerate loop
+(experiments/simple_video_generation.py:152-514) with a thin host loop
+around the jitted train_step / sampler: mesh setup, batch tokenization +
+normalization, gradient accumulation, EMA, periodic loss logging, step-dir
+checkpoints with top-k pruning, periodic validation with sampled-video
+logging and metrics.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..algorithms.dfot_video import build_algorithm
+from ..config import Config
+from ..data.loader import DataLoader
+from ..data.video_dataset import build_dataset
+from ..parallel import make_mesh, shard_batch
+from ..training.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from ..utils.logging import MetricsLogger, log_video
+
+__all__ = ["VideoGenerationExperiment"]
+
+
+class VideoGenerationExperiment:
+    """Orchestrates training and validation for DFoT video models."""
+
+    def __init__(self, cfg: Config, output_dir: Optional[str] = None, load: Optional[str] = None):
+        self.cfg = cfg
+        self.output_dir = output_dir or str(cfg.get("output_dir", "outputs"))
+        os.makedirs(self.output_dir, exist_ok=True)
+        self.ckpt_dir = os.path.join(self.output_dir, "checkpoints")
+        self.load_path = load
+        self.algo = build_algorithm(cfg)
+        self.logger = MetricsLogger(
+            self.output_dir,
+            cfg.get("wandb").to_dict() if cfg.get("wandb") else None,
+            name=str(cfg.get("name", "")),
+        )
+
+    # ------------------------------------------------------------------
+    def exec_task(self, task: str) -> None:
+        if task == "training":
+            self.training()
+        elif task in ("validation", "test"):
+            self.validation(namespace=task)
+        else:
+            raise ValueError(f"unknown task {task}")
+
+    # ------------------------------------------------------------------
+    # batch -> model tokens (reference on_after_batch_transfer,
+    # base_pytorch_video_algo.py:93-137)
+    # ------------------------------------------------------------------
+    def _tokenize_batch(self, batch: Dict[str, np.ndarray]) -> Dict:
+        algo = self.algo
+        if algo.is_latent:
+            if "latents" in batch:
+                xs = batch["latents"]
+            else:
+                raise NotImplementedError(
+                    "online VAE encoding requires the VAE subsystem; "
+                    "preprocess latents first (experiment=video_latent_preprocessing)"
+                )
+        else:
+            xs = batch["videos"]
+        xs = algo.normalize(jnp.asarray(xs))
+        masks = jnp.asarray(batch["nonterminal"])
+        out = {"xs": xs, "masks": masks}
+        if "conds" in batch:
+            out["conditions"] = batch["conds"]
+        if "videos" in batch:
+            out["gt_videos"] = batch["videos"]
+        return out
+
+    # ------------------------------------------------------------------
+    def training(self) -> None:
+        cfg, algo = self.cfg, self.algo
+        tcfg = cfg.experiment.training
+        accumulate = tcfg.optim.get("accumulate_grad_batches", 1)
+
+        dataset = build_dataset(cfg.dataset, "training")
+        loader = DataLoader(
+            dataset,
+            batch_size=tcfg.batch_size,
+            shuffle=tcfg.data.get("shuffle", True),
+            seed=tcfg.get("manual_seed", 0),
+        )
+
+        # data axis must divide the global batch; spare devices go to fsdp
+        import math
+
+        ndev = len(jax.devices())
+        data_axis = math.gcd(tcfg.batch_size, ndev)
+        mesh = make_mesh((data_axis, ndev // data_axis))
+        rng = jax.random.PRNGKey(tcfg.get("manual_seed", 0))
+        rng, r_init = jax.random.split(rng)
+        state = algo.make_train_state(
+            r_init,
+            accumulate_steps=accumulate,
+            num_training_steps=tcfg.max_steps if tcfg.max_steps > 0 else None,
+        )
+        train_step = algo.make_train_step(
+            ema_decay=cfg.experiment.ema.get("decay", 0.9999)
+        )
+
+        # resume
+        resume_path = self.load_path or latest_checkpoint(self.ckpt_dir)
+        if resume_path:
+            restored = restore_checkpoint(
+                resume_path,
+                {
+                    "params": state.params,
+                    "opt_state": state.opt_state,
+                    "step": np.asarray(0),
+                    **(
+                        {"ema_params": state.ema_params}
+                        if state.ema_params is not None
+                        else {}
+                    ),
+                },
+            )
+            state = state.replace(
+                params=restored["params"],
+                opt_state=restored["opt_state"],
+                step=jnp.asarray(int(restored["step"])),
+                ema_params=restored.get("ema_params", state.ema_params),
+            )
+
+        max_steps = tcfg.max_steps if tcfg.max_steps > 0 else None
+        max_epochs = tcfg.max_epochs if tcfg.max_epochs > 0 else None
+        ckpt_every = tcfg.checkpointing.get("every_n_train_steps") or 0
+        save_top_k = tcfg.checkpointing.get("save_top_k", 3)
+        loss_freq = cfg.algorithm.logging.get("loss_freq", 100)
+
+        step = int(state.step)
+        t_start = time.time()
+        epoch = 0
+        with mesh:
+            done = False
+            while not done:
+                for batch in loader:
+                    tokens = self._tokenize_batch(batch)
+                    tokens.pop("gt_videos", None)
+                    if "conditions" in tokens:
+                        tokens["conditions"] = jnp.asarray(
+                            algo.process_conditions(tokens["conditions"])
+                        )
+                    tokens = shard_batch(tokens, mesh)
+                    rng, r_step = jax.random.split(rng)
+                    state, metrics = train_step(state, tokens, r_step)
+                    step = int(state.step)
+
+                    if step % max(loss_freq, 1) == 0:
+                        m = {k: float(v) for k, v in metrics.items()}
+                        m["steps_per_sec"] = step / max(time.time() - t_start, 1e-9)
+                        self.logger.log(m, step)
+                    if ckpt_every and step % ckpt_every == 0:
+                        save_checkpoint(self.ckpt_dir, step, state, save_top_k)
+                    if max_steps is not None and step >= max_steps:
+                        done = True
+                        break
+                epoch += 1
+                if max_epochs is not None and epoch >= max_epochs:
+                    done = True
+        save_checkpoint(self.ckpt_dir, step, state, save_top_k)
+        self.state = state
+
+    # ------------------------------------------------------------------
+    def validation(self, namespace: str = "validation") -> None:
+        cfg, algo = self.cfg, self.algo
+        vcfg = cfg.experiment.validation
+        dataset = build_dataset(cfg.dataset, "validation")
+        loader = DataLoader(
+            dataset, batch_size=vcfg.batch_size, shuffle=False, drop_last=False
+        )
+
+        params = self._load_eval_params()
+        rng = jax.random.PRNGKey(vcfg.get("manual_seed", 0))
+
+        limit = vcfg.get("limit_batch")
+        n_batches = len(loader)
+        if isinstance(limit, float):
+            n_batches = max(int(n_batches * limit), 1)
+        elif isinstance(limit, int) and limit > 0:
+            n_batches = min(n_batches, limit)
+
+        max_videos = cfg.algorithm.logging.get("max_num_videos", 8)
+        num_logged = 0
+        metrics_acc = []
+        for i, batch in enumerate(loader):
+            if i >= n_batches:
+                break
+            tokens = self._tokenize_batch(batch)
+            rng, r_s = jax.random.split(rng)
+            videos = algo.sample_videos(
+                params,
+                r_s,
+                tokens["xs"],
+                conditions=batch.get("conds"),
+            )
+            videos = {k: algo.unnormalize(v) for k, v in videos.items()}
+            for task, vid in videos.items():
+                if task == "gt":
+                    continue
+                mse = float(jnp.mean((vid - videos["gt"]) ** 2))
+                metrics_acc.append({f"{namespace}/{task}_mse": mse})
+                if num_logged < max_videos:
+                    log_video(
+                        np.asarray(vid),
+                        np.asarray(videos["gt"]),
+                        os.path.join(
+                            self.output_dir, "videos", f"{task}_{namespace}_{i}.gif"
+                        ),
+                        context_frames=algo.n_context_tokens,
+                        raw_dir=cfg.algorithm.logging.get("raw_dir"),
+                    )
+            num_logged += videos["gt"].shape[0]
+
+        if metrics_acc:
+            agg: Dict[str, float] = {}
+            for m in metrics_acc:
+                for k, v in m.items():
+                    agg.setdefault(k, []).append(v)
+            self.logger.log({k: float(np.mean(v)) for k, v in agg.items()}, 0)
+
+    # ------------------------------------------------------------------
+    def _load_eval_params(self):
+        """Prefer EMA weights from the latest/loaded checkpoint
+        (reference: ema.store/copy_to before validation)."""
+        path = self.load_path or latest_checkpoint(self.ckpt_dir)
+        if path is None:
+            if hasattr(self, "state"):
+                return self.state.ema_params or self.state.params
+            # fresh init (sanity runs)
+            return self.algo.init_params(jax.random.PRNGKey(0))["params"]
+        restored = restore_checkpoint(path)
+        return restored.get("ema_params") or restored["params"]

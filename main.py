@@ -1,0 +1,48 @@
+"""CLI entry point — reference-compatible surface (reference: main.py:252-327).
+
+Usage:
+    python main.py +name=EXPERIMENT_NAME dataset=... algorithm=... \
+        experiment=... [@shortcut/...] [key.sub=value] [++forced=value]
+
+Supports:
+    +name=...       required experiment name (like the reference)
+    load=PATH       checkpoint dir (checkpoint_<step>/) or run output dir
+    resume=PATH     resume training from a checkpoint/run dir
+    experiment.tasks=[training|validation|test]
+"""
+
+import os
+import sys
+from datetime import datetime
+
+
+def run(argv):
+    from dfot_tpu.config import load_config
+    from dfot_tpu.experiments import build_experiment
+
+    cfg = load_config(argv)
+    if "name" not in cfg:
+        raise ValueError(
+            "must specify a name for the run with command line argument '+name=[name]'"
+        )
+
+    choices = cfg.get("_choices", {})
+    stamp = datetime.now().strftime("%Y-%m-%d/%H-%M-%S")
+    output_dir = os.path.join(
+        str(cfg.output_dir),
+        str(choices.get("experiment", "exp")),
+        str(cfg.experiment.tasks[0]),
+        str(choices.get("dataset", "data")),
+        str(choices.get("algorithm", "algo")),
+        stamp,
+    )
+
+    load = cfg.get("load") or cfg.get("resume")
+    experiment = build_experiment(cfg, output_dir, load)
+    for task in cfg.experiment.tasks:
+        experiment.exec_task(task)
+    return experiment
+
+
+if __name__ == "__main__":
+    run(sys.argv[1:])

@@ -1,0 +1,79 @@
+"""End-to-end CLI integration: train a tiny model, then validate with it.
+
+Drives the same surface a user drives (main.run with reference-style
+overrides) on the synthetic dataset fallback.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+TINY_OVERRIDES = [
+    "+name=e2e_smoke",
+    "dataset=ucf_101",  # no data on disk -> synthetic fallback
+    "algorithm=dfot_video",
+    "experiment=video_generation",
+    "dataset.resolution=16",
+    "dataset.max_frames=4",
+    "dataset.context_length=1",
+    "++algorithm.backbone.hidden_size=64",
+    "++algorithm.backbone.depth=2",
+    "++algorithm.backbone.num_heads=2",
+    "++algorithm.backbone.use_gradient_checkpointing=false",
+    "++algorithm.diffusion.sampling_timesteps=3",
+    "++algorithm.lr_scheduler.num_warmup_steps=2",
+    "experiment.training.batch_size=2",
+    "experiment.training.max_steps=3",
+    "experiment.training.max_epochs=1",
+    "++experiment.training.checkpointing.every_n_train_steps=2",
+    "experiment.validation.batch_size=2",
+    "experiment.validation.limit_batch=1",
+    "++algorithm.logging.max_num_videos=2",
+]
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    import main as cli
+
+    out_root = tmp_path_factory.mktemp("e2e")
+    overrides = TINY_OVERRIDES + [
+        f"output_dir={out_root}",
+        "experiment.tasks=[training]",
+    ]
+    exp = cli.run(overrides)
+    return exp
+
+
+def test_training_produces_checkpoints_and_metrics(trained_run):
+    exp = trained_run
+    assert int(trained_run.state.step) == 3
+    ckpts = os.listdir(exp.ckpt_dir)
+    assert any(c.startswith("checkpoint_") for c in ckpts)
+    with open(os.path.join(exp.output_dir, "metrics.jsonl")) as f:
+        lines = [json.loads(l) for l in f]
+    assert not lines or all(np.isfinite(l.get("loss", 0.0)) for l in lines)
+
+
+def test_validation_from_checkpoint(trained_run, tmp_path):
+    import main as cli
+
+    ckpt = os.path.join(
+        trained_run.ckpt_dir,
+        sorted(os.listdir(trained_run.ckpt_dir))[-1],
+    )
+    overrides = TINY_OVERRIDES + [
+        f"output_dir={tmp_path}",
+        "experiment.tasks=[validation]",
+        f"load={ckpt}",
+    ]
+    exp = cli.run(overrides)
+    videos_dir = os.path.join(exp.output_dir, "videos")
+    assert os.path.isdir(videos_dir) and len(os.listdir(videos_dir)) > 0
+    with open(os.path.join(exp.output_dir, "metrics.jsonl")) as f:
+        lines = [json.loads(l) for l in f]
+    keys = set().union(*(l.keys() for l in lines))
+    assert any("prediction_mse" in k for k in keys)
