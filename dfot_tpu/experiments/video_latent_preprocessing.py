@@ -1,0 +1,123 @@
+"""Latent preprocessing: encode every video to fp16 latents on disk.
+
+Reference flow (experiments/video_latent_preprocessing.py +
+algorithms/vae/*/preprocessor.py): run the VAE encoder over each full video,
+sample the posterior, save per-video latents, skip finished ones; afterwards
+compute channel-wise latent stats for the dataset config.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.video_dataset import VideoDataset
+from ..utils.logging import MetricsLogger
+from ..vae import ImageVAE, ImageVAEConfig, VideoVAE, VideoVAEConfig, estimate_latent_stats
+
+__all__ = ["VideoLatentPreprocessingExperiment"]
+
+
+class VideoLatentPreprocessingExperiment:
+    def __init__(self, cfg: Config, output_dir: Optional[str] = None, load: Optional[str] = None):
+        self.cfg = cfg
+        self.output_dir = output_dir or "outputs"
+        os.makedirs(self.output_dir, exist_ok=True)
+        self.load_path = load
+        self.logger = MetricsLogger(self.output_dir)
+        self.max_encode_length = cfg.algorithm.get("max_encode_length", 16)
+        self._build_vae()
+
+    def _build_vae(self):
+        acfg = self.cfg.algorithm
+        name = acfg.get("_name", "image_vae_preprocessor")
+        rng = jax.random.PRNGKey(0)
+        if "video" in name:
+            self.vae_cfg = VideoVAEConfig.from_config(acfg)
+            self.vae = VideoVAE(self.vae_cfg)
+            x = jnp.zeros((1, 5, self.vae_cfg.resolution, self.vae_cfg.resolution, 3))
+            self.is_video_vae = True
+        else:
+            self.vae_cfg = ImageVAEConfig.from_config(acfg)
+            self.vae = ImageVAE(self.vae_cfg)
+            x = jnp.zeros((1, self.vae_cfg.resolution, self.vae_cfg.resolution, 3))
+            self.is_video_vae = False
+        self.variables = self.vae.init(rng, x, rng, method=None)
+        if self.load_path:
+            from ..training.checkpoint import restore_checkpoint
+
+            restored = restore_checkpoint(self.load_path)
+            self.variables = {"params": restored.get("params", restored)}
+
+        def encode(variables, x, rng):
+            posterior = self.vae.apply(variables, x, method=self.vae.encode)
+            return posterior.sample(rng)
+
+        self._encode = jax.jit(encode)
+
+    def exec_task(self, task: str) -> None:
+        if task != "validation":
+            raise ValueError("latent preprocessing runs as a validation task")
+        self.validation()
+
+    def validation(self) -> None:
+        dcfg = self.cfg.dataset
+        for split in ("training", "validation"):
+            try:
+                dataset = VideoDataset(dcfg, split)
+            except FileNotFoundError:
+                continue
+            latent_dir = os.path.join(
+                f"{dcfg.save_dir}_latent_{dcfg.resolution}", split
+            )
+            os.makedirs(latent_dir, exist_ok=True)
+            rng = jax.random.PRNGKey(0)
+            done = 0
+            for meta in dataset.metadata:
+                base = os.path.splitext(os.path.basename(meta["path"]))[0]
+                out_path = os.path.join(latent_dir, base + ".npy")
+                if os.path.exists(out_path):
+                    continue
+                video = dataset._load_video(meta, 0, meta["length"])
+                rng, r = jax.random.split(rng)
+                latent = self._encode_video(video, r)
+                np.save(out_path, latent.astype(np.float16))
+                done += 1
+            self.logger.log({f"{split}/videos_encoded": done}, 0)
+
+            # channel-wise stats for the dataset config
+            paths = [
+                os.path.join(latent_dir, f)
+                for f in sorted(os.listdir(latent_dir))
+                if f.endswith(".npy")
+            ]
+            if paths:
+                mean, std = estimate_latent_stats(paths)
+                np.save(os.path.join(latent_dir, "data_mean.npy"), mean)
+                np.save(os.path.join(latent_dir, "data_std.npy"), std)
+
+    def _encode_video(self, video: np.ndarray, rng: jax.Array) -> np.ndarray:
+        """video (T, H, W, C) in [0, 1] -> latents; chunked to bound memory."""
+        x = jnp.asarray(video) * 2.0 - 1.0
+        chunks = []
+        if self.is_video_vae:
+            f = self.vae_cfg.temporal_downsampling_factor
+            step = 1 + (self.max_encode_length - 1) // f * f
+            t = 0
+            while t < x.shape[0]:
+                seg = x[t : t + step]
+                n = (seg.shape[0] - 1) // f * f + 1  # valid causal length
+                rng, r = jax.random.split(rng)
+                chunks.append(np.asarray(self._encode(self.variables, seg[None, :n], r))[0])
+                t += n
+        else:
+            for t in range(0, x.shape[0], self.max_encode_length):
+                seg = x[t : t + self.max_encode_length]
+                rng, r = jax.random.split(rng)
+                chunks.append(np.asarray(self._encode(self.variables, seg, r)))
+        return np.concatenate(chunks, axis=0)
