@@ -1,0 +1,128 @@
+"""Shared frozen-model registry for evaluation metrics.
+
+Counterpart of the reference's SharedVideoMetricModelRegistry
+(algorithms/common/metrics/video/shared_registry.py): a lazy singleton so
+the large frozen eval models (I3D, Inception, LPIPS-VGG, ...) are built and
+initialized once and shared by all metrics.
+
+Weights: pass ``weights_dir`` containing converted checkpoints
+(``i3d.npz``/``lpips.npz``/...). Missing weights fall back to fixed-seed
+random initialization — every metric still runs and orders models
+consistently within a run, but values are NOT comparable to published
+tables; ``registry.comparable[name]`` records which applies.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["SharedMetricModelRegistry"]
+
+
+class SharedMetricModelRegistry:
+    def __init__(self, weights_dir: Optional[str] = None):
+        self.weights_dir = weights_dir
+        self._models: Dict[str, Callable] = {}
+        self.comparable: Dict[str, bool] = {}
+
+    def _load_weights(self, name: str, init_params):
+        path = os.path.join(self.weights_dir or "", f"{name}.npz")
+        if self.weights_dir and os.path.exists(path):
+            flat = dict(np.load(path))
+            params = _unflatten({k: jnp.asarray(v) for k, v in flat.items()})
+            self.comparable[name] = True
+            return params
+        self.comparable[name] = False
+        return init_params
+
+    # ------------------------------------------------------------------
+    def i3d(self) -> Callable:
+        """(B, T>=9, H, W, 3) in [0,1] -> (logits (B,400), feats (B,1024))."""
+        if "i3d" not in self._models:
+            from .i3d import I3D
+
+            model = I3D()
+            x = jnp.zeros((1, 9, 64, 64, 3))
+            variables = model.init(jax.random.PRNGKey(0), x)
+            params = self._load_weights("i3d", variables["params"])
+            batch_stats = variables.get("batch_stats", {})
+
+            @jax.jit
+            def apply(x):
+                return model.apply(
+                    {"params": params, "batch_stats": batch_stats}, x
+                )
+
+            self._models["i3d"] = apply
+        return self._models["i3d"]
+
+    def lpips(self) -> Callable:
+        """(B, H, W, 3) pairs in [-1,1] -> (B,) perceptual distances."""
+        if "lpips" not in self._models:
+            from ..vae.losses import LPIPS
+
+            model = LPIPS()
+            x = jnp.zeros((1, 32, 32, 3))
+            variables = model.init(jax.random.PRNGKey(0), x, x)
+            params = self._load_weights("lpips", variables["params"])
+
+            @jax.jit
+            def apply(a, b):
+                return model.apply({"params": params}, a, b)
+
+            self._models["lpips"] = apply
+        return self._models["lpips"]
+
+    def inception(self) -> Callable:
+        """Frame features for FID: (B, H, W, 3) in [0,1] -> (B, 2048).
+
+        Without pretrained InceptionV3 weights this is a deterministic
+        random-projection feature map (fixed seed) — consistent within a
+        run, not comparable across papers."""
+        if "inception" not in self._models:
+            path = os.path.join(self.weights_dir or "", "inception.npz")
+            dim = 2048
+            if self.weights_dir and os.path.exists(path):
+                raise NotImplementedError(
+                    "InceptionV3 weight import not wired yet; use the random "
+                    "feature fallback or FVD"
+                )
+            self.comparable["inception"] = False
+            key = jax.random.PRNGKey(42)
+
+            @jax.jit
+            def apply(x):
+                B = x.shape[0]
+                pooled = jnp.stack(
+                    [
+                        jnp.mean(x, axis=(1, 2)).reshape(B, -1),
+                        jnp.std(x, axis=(1, 2)).reshape(B, -1),
+                    ],
+                    axis=-1,
+                ).reshape(B, -1)
+                W = jax.random.normal(key, (pooled.shape[-1], dim)) / np.sqrt(
+                    pooled.shape[-1]
+                )
+                patches = jax.image.resize(x, (B, 16, 16, x.shape[-1]), "linear")
+                flat = patches.reshape(B, -1)
+                W2 = jax.random.normal(jax.random.fold_in(key, 1), (flat.shape[-1], dim))
+                return jnp.tanh(flat @ W2 / np.sqrt(flat.shape[-1])) + pooled @ W
+
+            self._models["inception"] = apply
+        return self._models["inception"]
+
+
+def _unflatten(flat: Dict[str, jnp.ndarray]):
+    tree: Dict = {}
+    for path, value in flat.items():
+        node = tree
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return tree
