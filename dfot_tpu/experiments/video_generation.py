@@ -193,7 +193,17 @@ class VideoGenerationExperiment:
 
         max_videos = cfg.algorithm.logging.get("max_num_videos", 8)
         num_logged = 0
-        metrics_acc = []
+
+        # metric suite with the shared frozen-model registry (reference
+        # simple_video_generation.py:113-147)
+        from ..metrics import SharedMetricModelRegistry, VideoMetric
+
+        metric_types = tuple(cfg.algorithm.logging.get("metrics", ["mse", "psnr"]))
+        registry = SharedMetricModelRegistry(
+            weights_dir=cfg.algorithm.logging.get("metrics_weights_dir")
+        )
+        task_metrics: Dict[str, VideoMetric] = {}
+
         for i, batch in enumerate(loader):
             if i >= n_batches:
                 break
@@ -206,29 +216,34 @@ class VideoGenerationExperiment:
                 conditions=batch.get("conds"),
             )
             videos = {k: algo.unnormalize(v) for k, v in videos.items()}
+            gt = np.asarray(videos["gt"])
+            B, T = gt.shape[:2]
+            ctx = np.zeros((B, T), dtype=bool)
+            ctx[:, : algo.n_context_tokens] = True
             for task, vid in videos.items():
                 if task == "gt":
                     continue
-                mse = float(jnp.mean((vid - videos["gt"]) ** 2))
-                metrics_acc.append({f"{namespace}/{task}_mse": mse})
+                if task not in task_metrics:
+                    task_metrics[task] = VideoMetric(metric_types, registry)
+                task_metrics[task].update(np.asarray(vid), gt, ctx)
                 if num_logged < max_videos:
                     log_video(
                         np.asarray(vid),
-                        np.asarray(videos["gt"]),
+                        gt,
                         os.path.join(
                             self.output_dir, "videos", f"{task}_{namespace}_{i}.gif"
                         ),
                         context_frames=algo.n_context_tokens,
                         raw_dir=cfg.algorithm.logging.get("raw_dir"),
                     )
-            num_logged += videos["gt"].shape[0]
+            num_logged += gt.shape[0]
 
-        if metrics_acc:
-            agg: Dict[str, float] = {}
-            for m in metrics_acc:
-                for k, v in m.items():
-                    agg.setdefault(k, []).append(v)
-            self.logger.log({k: float(np.mean(v)) for k, v in agg.items()}, 0)
+        results: Dict[str, float] = {}
+        for task, vm in task_metrics.items():
+            results.update(vm.log(f"{namespace}/{task}"))
+        if results:
+            self.logger.log(results, 0)
+        self.last_metrics = results
 
     # ------------------------------------------------------------------
     def _load_eval_params(self):

@@ -76,4 +76,5 @@ def test_validation_from_checkpoint(trained_run, tmp_path):
     with open(os.path.join(exp.output_dir, "metrics.jsonl")) as f:
         lines = [json.loads(l) for l in f]
     keys = set().union(*(l.keys() for l in lines))
-    assert any("prediction_mse" in k for k in keys)
+    assert any("prediction/mse" in k for k in keys)
+    assert any("prediction/fvd" in k for k in keys)
