@@ -169,8 +169,39 @@ class DFoTVideoAlgo:
                 max_temporal_length=self.max_tokens,
                 use_gradient_checkpointing=bcfg.get("use_gradient_checkpointing", False),
                 causal=self.dcfg.use_causal_mask,
+                embed_col_dim=bcfg.get("embed_col_dim"),
+                embed_row_dim=bcfg.get("embed_row_dim"),
+                num_col_heads=bcfg.get("num_col_heads"),
+                num_row_heads=bcfg.get("num_row_heads"),
+                matrix_multi_token=bcfg.get("matrix_multi_token") or False,
+                flatten_matrix_rope=bcfg.get("flatten_matrix_rope") or False,
+                matrix_use_bias=bcfg.get("use_bias", True),
+                fixed_u=bcfg.get("fixed_u"),
+                use_temporal_rope=bcfg.get("use_temporal_rope", True),
+                double_rope_merge=(
+                    bcfg.get("merge_type", "concat") if name == "difference_dit3d" else None
+                ),
             )
             return DiT3D(spec=spec, resolution=(h, w), **common)
+        if name == "u_net3d":
+            from ..models.unet3d import UNet3D, UNet3DSpec
+
+            spec = UNet3DSpec.from_config(bcfg, self.max_tokens)
+            return UNet3D(
+                spec=spec, resolution=h, use_causal_mask=self.dcfg.use_causal_mask,
+                **common,
+            )
+        if name == "far_dit":
+            from ..models.far import FARDiT, FARSpec
+
+            spec = FARSpec.from_config(bcfg, self.max_tokens)
+            return FARDiT(spec=spec, resolution=(h, w), **common)
+        if name == "dit1d":
+            from ..models.dit1d import DiT1D, DiT1DSpec
+
+            spec = DiT1DSpec.from_config(bcfg, self.max_tokens)
+            # x_shape (C, 1, N) -> tokens per frame = N
+            return DiT1D(spec=spec, n_tokens=w, **common)
         if name in ("u_vit3d", "u_vit3d_pose"):
             from ..models.uvit import UViT3D, UViT3DPose, UViTSpec
 

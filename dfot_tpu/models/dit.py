@@ -47,6 +47,28 @@ def modulate(x: jax.Array, shift: jax.Array, scale: jax.Array) -> jax.Array:
     return x * (1 + scale) + shift
 
 
+def _double_rope(rope: RoPE, T: int, merge: str) -> RoPE:
+    """Duplicate a 3D RoPE table for (frame, difference) twin token streams
+    (reference DoubleRotaryEmbedding3D, embeddings.py:279-333): both streams
+    get identical positions; 'concat' lays them out [frames | diffs],
+    'interleaved' alternates per frame."""
+    import numpy as np
+
+    cos = np.asarray(rope.cos).reshape(T, -1, rope.cos.shape[-1])
+    sin = np.asarray(rope.sin).reshape(T, -1, rope.sin.shape[-1])
+    if merge == "concat":
+        cos2 = np.concatenate([cos, cos], axis=0)
+        sin2 = np.concatenate([sin, sin], axis=0)
+    elif merge == "interleaved":
+        cos2 = np.repeat(cos, 2, axis=0)
+        sin2 = np.repeat(sin, 2, axis=0)
+    else:
+        raise ValueError(f"unknown double-rope merge {merge}")
+    return RoPE(
+        cos2.reshape(-1, cos.shape[-1]), sin2.reshape(-1, sin.shape[-1]), rope.sizes
+    )
+
+
 class Attention(nn.Module):
     """Multi-head self-attention with optional RoPE (packed qkv matmul)."""
 
@@ -163,11 +185,28 @@ class DiTSpec:
     mlp_ratio: float = 4.0
     spatial_mlp_ratio: Optional[float] = None
     variant: str = "full"  # full | factorized_encoder | factorized_attention
+    #        | full_matrix_attention | factorized_matrix_attention
     pos_emb_type: str = "rope_3d"
     patch_size: int = 2
     max_temporal_length: int = 16
     use_gradient_checkpointing: bool = False
     causal: bool = False
+    # matrix-attention variants (reference dit_base.py:129-149)
+    embed_col_dim: Optional[int] = None
+    embed_row_dim: Optional[int] = None
+    num_col_heads: Optional[int] = None
+    num_row_heads: Optional[int] = None
+    matrix_multi_token: bool = False
+    flatten_matrix_rope: bool = False
+    matrix_use_bias: bool = True
+    fixed_u: Optional[str] = None
+    use_temporal_rope: bool = True
+    # difference-DiT double RoPE (concat | interleaved | None)
+    double_rope_merge: Optional[str] = None
+
+    @property
+    def is_matrix(self) -> bool:
+        return self.variant in ("full_matrix_attention", "factorized_matrix_attention")
 
 
 class DiTBase(nn.Module):
@@ -192,6 +231,10 @@ class DiTBase(nn.Module):
             self.rope = make_rope_3d(
                 head_dim, (s.max_temporal_length,) + tuple(self.spatial_grid)
             )
+            if s.double_rope_merge is not None:
+                self.rope = _double_rope(
+                    self.rope, s.max_temporal_length, s.double_rope_merge
+                )
         elif s.pos_emb_type == "rope_2d":
             self.rope = make_rope_2d(head_dim, tuple(self.spatial_grid))
         elif s.pos_emb_type == "learned_1d":
@@ -207,39 +250,79 @@ class DiTBase(nn.Module):
         block = DiTBlock
         if s.use_gradient_checkpointing:
             block = nn.remat(DiTBlock, static_argnums=())
-        spatial_rope = self.rope if s.pos_emb_type.startswith("rope") else None
-        self.blocks = [
-            block(
-                s.hidden_size,
-                s.num_heads,
-                s.spatial_mlp_ratio if s.variant != "full" else s.mlp_ratio,
-                spatial_rope,
-                s.causal and s.variant == "full",
-                self.dtype,
-                name=f"block_{i}",
+
+        def matrix_block(name):
+            from .matrix import MatrixDiTBlock
+            from .embeddings import make_rope_1d
+
+            mrope = None
+            if s.use_temporal_rope:
+                n = s.embed_col_dim // s.num_col_heads
+                d = s.embed_row_dim // s.num_row_heads
+                dim = n * d if s.flatten_matrix_rope else d
+                mrope = make_rope_1d(dim, s.max_temporal_length)
+            return MatrixDiTBlock(
+                col_hidden_size=self.num_patches,
+                row_hidden_size=s.hidden_size,
+                embed_col_dim=s.embed_col_dim,
+                embed_row_dim=s.embed_row_dim,
+                num_col_heads=s.num_col_heads,
+                num_row_heads=s.num_row_heads,
+                mlp_ratio=s.mlp_ratio,
+                matrix_rope=mrope,
+                flatten_matrix_rope=s.flatten_matrix_rope,
+                matrix_multi_token=s.matrix_multi_token,
+                use_bias=s.matrix_use_bias,
+                fixed_u=s.fixed_u,
+                dtype=self.dtype,
+                name=name,
             )
-            for i in range(s.depth)
-        ]
-        if self.is_factorized:
-            self.temporal_blocks = [
+
+        spatial_rope = self.rope if s.pos_emb_type.startswith("rope") else None
+        if s.variant == "full_matrix_attention":
+            self.blocks = [matrix_block(f"block_{i}") for i in range(s.depth)]
+        else:
+            self.blocks = [
                 block(
                     s.hidden_size,
                     s.num_heads,
-                    s.mlp_ratio,
-                    None,
-                    s.causal,
+                    s.spatial_mlp_ratio if s.variant != "full" else s.mlp_ratio,
+                    spatial_rope,
+                    s.causal and s.variant == "full",
                     self.dtype,
-                    name=f"temporal_block_{i}",
+                    name=f"block_{i}",
                 )
                 for i in range(s.depth)
             ]
+        if self.is_factorized:
+            if s.variant == "factorized_matrix_attention":
+                self.temporal_blocks = [
+                    matrix_block(f"temporal_block_{i}") for i in range(s.depth)
+                ]
+            else:
+                self.temporal_blocks = [
+                    block(
+                        s.hidden_size,
+                        s.num_heads,
+                        s.mlp_ratio,
+                        None,
+                        s.causal,
+                        self.dtype,
+                        name=f"temporal_block_{i}",
+                    )
+                    for i in range(s.depth)
+                ]
         self.final_layer = FinalLayer(
             s.hidden_size, self.out_channels, self.dtype, name="final_layer"
         )
 
     @property
     def is_factorized(self) -> bool:
-        return self.spec.variant in ("factorized_encoder", "factorized_attention")
+        return self.spec.variant in (
+            "factorized_encoder",
+            "factorized_attention",
+            "factorized_matrix_attention",
+        )
 
     def __call__(self, x: jax.Array, c: jax.Array) -> jax.Array:
         """x, c: (B, N, C) with N = T * num_patches (flattened row-major)."""
@@ -260,16 +343,22 @@ class DiTBase(nn.Module):
             for block in self.blocks:
                 x = block(x, c)
         else:
-            # spatial over (B*T, P), temporal over (B*P, T); XLA fuses the
-            # transposes into the surrounding matmuls
+            # spatial over (B*T, P); temporal over (B*P, T) for standard
+            # blocks, or over the full (B, T*P) grid for matrix blocks
+            # (reference dit_base.py:392-414); XLA fuses the transposes into
+            # the surrounding matmuls
+            matrix_temporal = s.variant == "factorized_matrix_attention"
             for i, block in enumerate(self.blocks):
                 xs = x.reshape(B * T, P, C)
                 cs = c.reshape(B * T, P, C)
                 xs = block(xs, cs)
-                xt = xs.reshape(B, T, P, C).swapaxes(1, 2).reshape(B * P, T, C)
-                ct = c.reshape(B, T, P, C).swapaxes(1, 2).reshape(B * P, T, C)
-                xt = self.temporal_blocks[i](xt, ct)
-                x = xt.reshape(B, P, T, C).swapaxes(1, 2).reshape(B, N, C)
+                if matrix_temporal:
+                    x = self.temporal_blocks[i](xs.reshape(B, N, C), c)
+                else:
+                    xt = xs.reshape(B, T, P, C).swapaxes(1, 2).reshape(B * P, T, C)
+                    ct = c.reshape(B, T, P, C).swapaxes(1, 2).reshape(B * P, T, C)
+                    xt = self.temporal_blocks[i](xt, ct)
+                    x = xt.reshape(B, P, T, C).swapaxes(1, 2).reshape(B, N, C)
 
         return self.final_layer(x, c)
 
