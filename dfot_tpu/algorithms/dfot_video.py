@@ -375,4 +375,8 @@ def build_algorithm(cfg: Config, compute_dtype=jnp.bfloat16):
         return DFoTVideoAlgo(algo_cfg, compute_dtype)
     if name == "dfot_video_pose":
         return DFoTVideoPoseAlgo(algo_cfg, compute_dtype)
+    if name == "difference_dfot_video":
+        from .difference_dfot import DifferenceDFoTVideoAlgo
+
+        return DifferenceDFoTVideoAlgo(algo_cfg, compute_dtype)
     raise NotImplementedError(f"algorithm {name!r} not yet available")

@@ -47,28 +47,6 @@ def modulate(x: jax.Array, shift: jax.Array, scale: jax.Array) -> jax.Array:
     return x * (1 + scale) + shift
 
 
-def _double_rope(rope: RoPE, T: int, merge: str) -> RoPE:
-    """Duplicate a 3D RoPE table for (frame, difference) twin token streams
-    (reference DoubleRotaryEmbedding3D, embeddings.py:279-333): both streams
-    get identical positions; 'concat' lays them out [frames | diffs],
-    'interleaved' alternates per frame."""
-    import numpy as np
-
-    cos = np.asarray(rope.cos).reshape(T, -1, rope.cos.shape[-1])
-    sin = np.asarray(rope.sin).reshape(T, -1, rope.sin.shape[-1])
-    if merge == "concat":
-        cos2 = np.concatenate([cos, cos], axis=0)
-        sin2 = np.concatenate([sin, sin], axis=0)
-    elif merge == "interleaved":
-        cos2 = np.repeat(cos, 2, axis=0)
-        sin2 = np.repeat(sin, 2, axis=0)
-    else:
-        raise ValueError(f"unknown double-rope merge {merge}")
-    return RoPE(
-        cos2.reshape(-1, cos.shape[-1]), sin2.reshape(-1, sin.shape[-1]), rope.sizes
-    )
-
-
 class Attention(nn.Module):
     """Multi-head self-attention with optional RoPE (packed qkv matmul)."""
 
@@ -229,12 +207,10 @@ class DiTBase(nn.Module):
         if s.pos_emb_type == "rope_3d":
             assert s.variant == "full", "rope_3d requires the full variant"
             self.rope = make_rope_3d(
-                head_dim, (s.max_temporal_length,) + tuple(self.spatial_grid)
+                head_dim,
+                (s.max_temporal_length,) + tuple(self.spatial_grid),
+                double_merge=s.double_rope_merge,
             )
-            if s.double_rope_merge is not None:
-                self.rope = _double_rope(
-                    self.rope, s.max_temporal_length, s.double_rope_merge
-                )
         elif s.pos_emb_type == "rope_2d":
             self.rope = make_rope_2d(head_dim, tuple(self.spatial_grid))
         elif s.pos_emb_type == "learned_1d":

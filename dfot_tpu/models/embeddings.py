@@ -230,13 +230,17 @@ class PatchEmbed(nn.Module):
 
 
 class RoPE:
-    """Precomputed rotary tables: cos/sin of shape (N_flat, dim)."""
+    """Precomputed rotary tables: cos/sin of shape (N_flat, dim).
+
+    Kept as host numpy arrays: modules may be constructed inside a jit trace
+    (flax setup), where eager jnp conversion would capture tracers; XLA
+    lifts them to device constants at the use site instead."""
 
     __slots__ = ("cos", "sin", "sizes")
 
     def __init__(self, cos: np.ndarray, sin: np.ndarray, sizes: Tuple[int, ...]):
-        self.cos = jnp.asarray(cos, dtype=jnp.float32)
-        self.sin = jnp.asarray(sin, dtype=jnp.float32)
+        self.cos = np.asarray(cos, dtype=np.float32)
+        self.sin = np.asarray(sin, dtype=np.float32)
         self.sizes = sizes
 
 
@@ -273,10 +277,21 @@ def make_rope_2d(dim: int, sizes: Tuple[int, int], theta: float = 10000.0) -> Ro
     return make_rope_nd((dim // 2, dim // 2), sizes, theta)
 
 
-def make_rope_3d(dim: int, sizes: Tuple[int, int, int], theta: float = 10000.0) -> RoPE:
+def make_rope_3d(
+    dim: int,
+    sizes: Tuple[int, int, int],
+    theta: float = 10000.0,
+    double_merge: Optional[str] = None,
+) -> RoPE:
     """3-axis split matching the reference's uneven-dim rule
     (embeddings.py:243-263): head_dim//2 frequencies split across (T, H, W)
-    with H/W getting equal counts."""
+    with H/W getting equal counts.
+
+    double_merge ('concat' | 'interleaved') duplicates the table for twin
+    (difference, frame) token streams (reference DoubleRotaryEmbedding3D):
+    both streams share positions; concat lays them out [stream0 | stream1]
+    along time, interleaved alternates per frame.
+    """
     assert dim % 2 == 0
     half = dim // 2
     r = half % 3
@@ -286,7 +301,19 @@ def make_rope_3d(dim: int, sizes: Tuple[int, int, int], theta: float = 10000.0) 
         parts = (half // 3 + 1, half // 3, half // 3)
     else:
         parts = (half // 3, half // 3 + 1, half // 3 + 1)
-    return make_rope_nd(tuple(p * 2 for p in parts), sizes, theta)
+    rope = make_rope_nd(tuple(p * 2 for p in parts), sizes, theta)
+    if double_merge is None:
+        return rope
+    T = sizes[0]
+    cos = np.asarray(rope.cos).reshape(T, -1, dim)
+    sin = np.asarray(rope.sin).reshape(T, -1, dim)
+    if double_merge == "concat":
+        cos2, sin2 = np.concatenate([cos, cos], 0), np.concatenate([sin, sin], 0)
+    elif double_merge == "interleaved":
+        cos2, sin2 = np.repeat(cos, 2, axis=0), np.repeat(sin, 2, axis=0)
+    else:
+        raise ValueError(f"unknown double-rope merge {double_merge}")
+    return RoPE(cos2.reshape(-1, dim), sin2.reshape(-1, dim), rope.sizes)
 
 
 def _rotate_half(x: jax.Array) -> jax.Array:
@@ -304,6 +331,6 @@ def apply_rope(x: jax.Array, rope: RoPE, seq_axis: int = -2) -> jax.Array:
     """
     assert seq_axis == -2, "apply_rope expects (..., N, D) layout"
     n = x.shape[-2]
-    cos, sin = rope.cos[:n], rope.sin[:n]
-    out = x * cos.astype(x.dtype) + _rotate_half(x) * sin.astype(x.dtype)
-    return out
+    cos = jnp.asarray(rope.cos[:n], dtype=x.dtype)
+    sin = jnp.asarray(rope.sin[:n], dtype=x.dtype)
+    return x * cos + _rotate_half(x) * sin

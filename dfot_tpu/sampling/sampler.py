@@ -49,6 +49,9 @@ class SamplingPlan(NamedTuple):
     weights: np.ndarray          # (S, H) float32
     gen_excluded: np.ndarray     # (S, B, G, T) bool
     gen_coverage: np.ndarray     # (S, B, T) int32
+    renoise: np.ndarray          # (S,) bool — go-back re-noising steps
+    # (refinement sampling: levels increase, no denoiser call;
+    # reference dfot_video.py:994-999)
 
     @property
     def num_steps(self) -> int:
@@ -107,20 +110,26 @@ def plan_sampling(
     if not is_full_sequence:
         mat_b = np.where(ctx[None] >= 1, -1, mat_b)
 
-    # prune identical adjacent leading rows across the whole batch
-    diff = (mat_b[1:] != mat_b[:-1]).any(axis=(1, 2))
-    skip = int(np.argmax(diff)) if diff.any() else len(diff)
-    mat_b = mat_b[skip:]
+    if refine is None:
+        # prune identical adjacent leading rows across the whole batch
+        diff = (mat_b[1:] != mat_b[:-1]).any(axis=(1, 2))
+        skip = int(np.argmax(diff)) if diff.any() else len(diff)
+        mat_b = mat_b[skip:]
 
     S = mat_b.shape[0] - 1
     from_levels = mat_b[:-1]
     to_levels = mat_b[1:]
 
-    # evolve context masks (0 -> 2 where from == -1) per step
+    # go-back steps: levels increase -> re-noise instead of denoise
+    # (reference compares the last gen token's levels, dfot_video.py:910)
+    renoise = (to_levels > from_levels).any(axis=(1, 2))
+
+    # evolve context masks (0 -> 2 where from == -1) per denoising step
     context_masks = np.empty((S, B, T), dtype=np.int64)
     cur = ctx.copy()
     for s in range(S):
-        cur = np.where((cur == 0) & (from_levels[s] == -1), 2, cur)
+        if not renoise[s]:
+            cur = np.where((cur == 0) & (from_levels[s] == -1), 2, cur)
         context_masks[s] = cur
 
     # per-(step, batch) HG tables, padded to the max num_hist
@@ -160,6 +169,7 @@ def plan_sampling(
         weights,
         gen_excluded,
         gen_coverage,
+        renoise,
     )
 
 
@@ -211,8 +221,26 @@ def make_window_sampler(
 
         def step(carry, scan_in):
             xs, rng = carry
-            (fl, tl, cmask, ov_m, ov_l, c_m, w, g_ex, g_cov) = scan_in
-            rng, r_prep, r_step = jax.random.split(rng, 3)
+            (fl, tl, cmask, ov_m, ov_l, c_m, w, g_ex, g_cov, is_renoise) = scan_in
+            rng, r_prep, r_step, r_renoise = jax.random.split(rng, 4)
+
+            def renoise_step(xs):
+                # go-back: re-noise from fl up to tl (no denoiser call)
+                noise = dc.clipped_normal(r_renoise, xs.shape, dcfg.clip_noise, xs.dtype)
+                return dc.q_sample_from_x_k(
+                    sched, dcfg.timesteps, xs, jnp.clip(fl, 0, None),
+                    jnp.clip(tl, 0, None), noise,
+                )
+
+            def denoise_step(xs):
+                return _denoise_body(xs, fl, tl, cmask, ov_m, ov_l, c_m, w, g_ex, g_cov,
+                                     r_prep, r_step)
+
+            xs = jax.lax.cond(is_renoise, renoise_step, denoise_step, xs)
+            return (xs, rng), None
+
+        def _denoise_body(xs, fl, tl, cmask, ov_m, ov_l, c_m, w, g_ex, g_cov,
+                          r_prep, r_step):
 
             table = HGTable(ov_m, ov_l, c_m, w, g_ex, g_cov)
             x_e, from_e, to_e, condmask_e = hg_prepare(
@@ -267,8 +295,7 @@ def make_window_sampler(
 
             composed = hg_compose(x_pred, table, B)
             # revert everything except the tokens being generated
-            xs = jnp.where(dc.bcast_right(cmask == 0, xs.ndim), composed, xs)
-            return (xs, rng), None
+            return jnp.where(dc.bcast_right(cmask == 0, xs.ndim), composed, xs)
 
         scan_in = (
             plan.from_levels,
@@ -280,6 +307,7 @@ def make_window_sampler(
             plan.weights,
             plan.gen_excluded,
             plan.gen_coverage,
+            plan.renoise,
         )
         (xs, _), _ = jax.lax.scan(step, (x_init, rng), scan_in)
         return xs
