@@ -258,20 +258,60 @@ class DFoTVideoAlgo:
     # training
     # ------------------------------------------------------------------
     def make_train_state(self, rng: jax.Array, accumulate_steps: int = 1,
-                         num_training_steps: Optional[int] = None):
+                         num_training_steps: Optional[int] = None,
+                         grad_clip: float = 1.0):
         variables = self.init_params(rng)
         exp = self.cfg
         tx = make_optimizer(
             lr=exp.lr,
             weight_decay=exp.weight_decay,
             betas=tuple(exp.optimizer_beta),
-            grad_clip=1.0,
+            grad_clip=grad_clip,
             lr_schedule_name=exp.lr_scheduler.name,
             num_warmup_steps=exp.lr_scheduler.num_warmup_steps,
             num_training_steps=exp.lr_scheduler.get("num_training_steps", num_training_steps),
             accumulate_steps=accumulate_steps,
         )
         return create_train_state(variables["params"], tx, use_ema=True)
+
+    def make_eval_loss(self):
+        """Jitted denoising-loss evaluator (for in-training validation,
+        reference run_validation with validate_sample=False)."""
+
+        @jax.jit
+        def eval_loss(params, batch, rng):
+            r_k, r_noise, r_drop = jax.random.split(rng, 3)
+            from ..training.noise_levels import training_noise_levels
+            from ..diffusion import core as _dc
+            from ..diffusion.continuous import (
+                continuous_training_fields, continuous_v_loss,
+            )
+
+            xs = batch["xs"]
+            k, loss_mask = training_noise_levels(
+                r_k, self.nl_cfg, batch["masks"], train=False
+            )
+            noise = _dc.clipped_normal(r_noise, xs.shape, self.dcfg.clip_noise, xs.dtype)
+            if self.dcfg.is_continuous:
+                x_t, logsnr, a_t, s_t = continuous_training_fields(
+                    self.dcfg, xs, k, noise
+                )
+                out = self._train_apply(
+                    params, x_t, self.dcfg.precond_scale * logsnr,
+                    batch.get("conditions"), None, rngs={"dropout": r_drop},
+                )
+                _, loss = continuous_v_loss(self.dcfg, out, x_t, noise, logsnr, a_t, s_t)
+            else:
+                noised, target = _dc.training_targets(self.sched, self.dcfg, xs, k, noise)
+                out = self._train_apply(
+                    params, noised, k.astype(jnp.float32),
+                    batch.get("conditions"), None, rngs={"dropout": r_drop},
+                )
+                loss = _dc.training_loss(self.sched, self.dcfg, out, target, k)
+            w = _dc.bcast_right(loss_mask.astype(loss.dtype), loss.ndim)
+            return jnp.mean(loss * w)
+
+        return eval_loss
 
     def make_train_step(self, ema_decay: float = 0.9999):
         return make_train_step(

@@ -105,6 +105,7 @@ class VideoGenerationExperiment:
             r_init,
             accumulate_steps=accumulate,
             num_training_steps=tcfg.max_steps if tcfg.max_steps > 0 else None,
+            grad_clip=tcfg.optim.get("gradient_clip_val", 1.0) or 0.0,
         )
         train_step = algo.make_train_step(
             ema_decay=cfg.experiment.ema.get("decay", 0.9999)
@@ -112,6 +113,17 @@ class VideoGenerationExperiment:
 
         # resume
         resume_path = self.load_path or latest_checkpoint(self.ckpt_dir)
+        if resume_path and (
+            str(resume_path).startswith("pretrained:")
+            or str(resume_path).endswith((".ckpt", ".pt", ".pth", ".safetensors"))
+        ):
+            # warm-start from imported torch weights (fresh optimizer)
+            params = self._load_eval_params()
+            state = state.replace(
+                params=params,
+                ema_params=jax.tree_util.tree_map(jnp.copy, params),
+            )
+            resume_path = None
         if resume_path:
             restored = restore_checkpoint(
                 resume_path,
@@ -139,6 +151,23 @@ class VideoGenerationExperiment:
         save_top_k = tcfg.checkpointing.get("save_top_k", 3)
         loss_freq = cfg.algorithm.logging.get("loss_freq", 100)
 
+        # in-training validation: denoising loss on held-out batches using
+        # EMA weights (reference run_validation, validate_sample=False)
+        val_every = cfg.experiment.validation.get("val_every_n_step")
+        val_every = val_every if isinstance(val_every, int) and val_every > 1 else 0
+        val_loader = None
+        eval_loss_fn = None
+        if val_every:
+            try:
+                val_dataset = build_dataset(cfg.dataset, "validation")
+                val_loader = DataLoader(
+                    val_dataset, cfg.experiment.validation.batch_size,
+                    shuffle=False, drop_last=False,
+                )
+                eval_loss_fn = algo.make_eval_loss()
+            except FileNotFoundError:
+                val_every = 0
+
         step = int(state.step)
         t_start = time.time()
         epoch = 0
@@ -163,6 +192,24 @@ class VideoGenerationExperiment:
                         self.logger.log(m, step)
                     if ckpt_every and step % ckpt_every == 0:
                         save_checkpoint(self.ckpt_dir, step, state, save_top_k)
+                    if val_every and step % val_every == 0:
+                        losses = []
+                        eval_params = (
+                            state.ema_params if state.ema_params is not None else state.params
+                        )
+                        for j, vb in enumerate(val_loader):
+                            if j >= 4:
+                                break
+                            vt = self._tokenize_batch(vb)
+                            vt.pop("gt_videos", None)
+                            if "conditions" in vt:
+                                vt["conditions"] = jnp.asarray(
+                                    algo.process_conditions(vt["conditions"])
+                                )
+                            rng, r_v = jax.random.split(rng)
+                            losses.append(float(eval_loss_fn(eval_params, vt, r_v)))
+                        if losses:
+                            self.logger.log({"validation/loss": float(np.mean(losses))}, step)
                     if max_steps is not None and step >= max_steps:
                         done = True
                         break
@@ -248,12 +295,42 @@ class VideoGenerationExperiment:
     # ------------------------------------------------------------------
     def _load_eval_params(self):
         """Prefer EMA weights from the latest/loaded checkpoint
-        (reference: ema.store/copy_to before validation)."""
+        (reference: ema.store/copy_to before validation). Torch checkpoints
+        (.ckpt/.pt/.safetensors, incl. ``pretrained:NAME.ckpt``) are
+        converted through the importer."""
         path = self.load_path or latest_checkpoint(self.ckpt_dir)
         if path is None:
             if hasattr(self, "state"):
                 return self.state.ema_params or self.state.params
             # fresh init (sanity runs)
             return self.algo.init_params(jax.random.PRNGKey(0))["params"]
+        if str(path).startswith("pretrained:"):
+            # reference downloads from HF (ckpt_utils.py:111-121); zero-egress
+            # hosts look under data/ckpts/
+            path = os.path.join("data", "ckpts", str(path).split(":", 1)[1])
+        if str(path).endswith((".ckpt", ".pt", ".pth", ".safetensors")):
+            return self._import_torch_checkpoint(str(path))
         restored = restore_checkpoint(path)
         return restored.get("ema_params") or restored["params"]
+
+    def _import_torch_checkpoint(self, path: str):
+        from ..utils.torch_ckpt import (
+            import_dit3d_params,
+            import_uvit3d_params,
+            load_state_dict,
+            strip_checkpoint,
+        )
+
+        state = strip_checkpoint(load_state_dict(path))
+        bcfg = self.cfg.algorithm.backbone
+        name = bcfg.name
+        if name.startswith("dit3d"):
+            return import_dit3d_params(state)
+        if name.startswith("u_vit3d"):
+            return import_uvit3d_params(
+                state,
+                num_updown_blocks=tuple(bcfg.num_updown_blocks),
+                num_levels=len(bcfg.channels),
+                patch_size=bcfg.patch_size,
+            )
+        raise NotImplementedError(f"torch import for backbone {name!r} not wired")

@@ -68,7 +68,13 @@ class Attention(nn.Module):
         if self.rope is not None:
             q = apply_rope(q, self.rope)
             k = apply_rope(k, self.rope)
-        out = attention(q, k, v, causal=self.causal)
+        from ..ops.attention import attention_capture_enabled, attention_with_weights
+
+        if attention_capture_enabled():
+            out, weights = attention_with_weights(q, k, v, causal=self.causal)
+            self.sow("intermediates", "attn_weights", weights)
+        else:
+            out = attention(q, k, v, causal=self.causal)
         out = jnp.moveaxis(out, 1, 2).reshape(B, N, C)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 

@@ -28,7 +28,28 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["attention", "flash_attention", "attention_with_weights"]
+__all__ = [
+    "attention",
+    "flash_attention",
+    "attention_with_weights",
+    "set_attention_capture",
+    "attention_capture_enabled",
+]
+
+# debug switch: when on, attention modules take the weights-returning path and
+# sow the maps into flax 'intermediates' (see utils/attn_capture.py). Changing
+# it invalidates jit caches — debug only, like the reference's naive-SDPA
+# hook path (dit_blocks.py:21-44).
+_CAPTURE_ATTENTION = False
+
+
+def set_attention_capture(enabled: bool) -> None:
+    global _CAPTURE_ATTENTION
+    _CAPTURE_ATTENTION = bool(enabled)
+
+
+def attention_capture_enabled() -> bool:
+    return _CAPTURE_ATTENTION
 
 _NEG_INF = -1e30
 

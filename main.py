@@ -26,6 +26,20 @@ def run(argv):
             "must specify a name for the run with command line argument '+name=[name]'"
         )
 
+    # cluster dispatch (reference main.py:162-249): when a cluster config is
+    # selected and we're on a login node, render + submit the launch script
+    # that re-runs this exact command on the compute node
+    if cfg.get("cluster") is not None:
+        from dfot_tpu.utils.cluster import is_compute_node, submit_cluster_job
+
+        if not is_compute_node():
+            command = "python main.py " + " ".join(argv)
+            script = submit_cluster_job(
+                cfg.cluster, str(cfg.name), command, str(cfg.output_dir)
+            )
+            print(f"submitted cluster job: {script}")
+            return None
+
     choices = cfg.get("_choices", {})
     stamp = datetime.now().strftime("%Y-%m-%d/%H-%M-%S")
     output_dir = os.path.join(

@@ -1,0 +1,85 @@
+"""Aux subsystem tests: attention capture, profiling, eval loss, cluster."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_attention_capture_and_heatmaps(tmp_path):
+    from dfot_tpu.models.dit import DiT3D, DiTSpec
+    from dfot_tpu.ops.attention import set_attention_capture
+    from dfot_tpu.utils.attn_capture import (
+        capture_attention_maps,
+        save_attention_heatmaps,
+    )
+
+    spec = DiTSpec(hidden_size=32, depth=1, num_heads=2, mlp_ratio=1.0,
+                   variant="full", pos_emb_type="rope_3d", patch_size=2,
+                   max_temporal_length=2)
+    model = DiT3D(spec=spec, x_channels=1, resolution=(4, 4))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 4, 4, 1))
+    k = jnp.zeros((1, 2))
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, x, k)
+
+    set_attention_capture(True)
+    try:
+        out, state = model.apply(variables, x, k, mutable=["intermediates"])
+        from dfot_tpu.utils.attn_capture import collect_attention_maps
+
+        maps = collect_attention_maps(state["intermediates"])
+        assert maps, "no attention maps sown"
+        (name, arr), = list(maps.items())[:1]
+        # (B, H, N, N) with N = T * patches = 2 * 4
+        assert arr.shape[-1] == arr.shape[-2] == 8
+        np.testing.assert_allclose(arr.sum(-1), 1.0, atol=1e-5)
+        paths = save_attention_heatmaps(maps, str(tmp_path))
+        assert paths and os.path.exists(paths[0])
+    finally:
+        set_attention_capture(False)
+
+
+def test_step_timer():
+    from dfot_tpu.utils.profiling import StepTimer
+
+    t = StepTimer(window=4)
+    for _ in range(5):
+        t.tick()
+    assert t.steps_per_sec > 0
+
+
+def test_eval_loss_runs():
+    from dfot_tpu.algorithms import build_algorithm
+    from dfot_tpu.config import load_config
+
+    cfg = load_config([
+        "+name=x", "dataset=ucf_101", "algorithm=dfot_video",
+        "dataset.resolution=8", "dataset.max_frames=2",
+        "++algorithm.backbone.hidden_size=32", "++algorithm.backbone.depth=1",
+        "++algorithm.backbone.num_heads=2",
+        "++algorithm.backbone.use_gradient_checkpointing=false",
+    ])
+    algo = build_algorithm(cfg, compute_dtype=jnp.float32)
+    params = algo.init_params(jax.random.PRNGKey(0))["params"]
+    eval_loss = algo.make_eval_loss()
+    batch = {"xs": jnp.ones((1, 2, 8, 8, 3)) * 0.2, "masks": jnp.ones((1, 2), bool)}
+    loss = float(eval_loss(params, batch, jax.random.PRNGKey(1)))
+    assert np.isfinite(loss) and loss > 0
+
+
+def test_cluster_template_render(tmp_path):
+    from dfot_tpu.config import load_config
+    from dfot_tpu.utils.cluster import submit_cluster_job
+
+    cfg = load_config(["cluster=base_slurm", "+name=job"])
+    # use 'bash -c true'-style submitter so no slurm is needed
+    cfg.cluster["submit_command"] = "true"
+    path = submit_cluster_job(
+        cfg.cluster, "job", "python main.py +name=job", str(tmp_path)
+    )
+    text = open(path).read()
+    assert "#SBATCH --job-name=job" in text
+    assert "python main.py +name=job" in text
+    assert os.path.islink(os.path.join(tmp_path, "slurm_logs", "latest"))
