@@ -120,8 +120,16 @@ class DFoTVideoAlgo:
         )
 
     def _stat(self, value) -> Optional[np.ndarray]:
-        if value is None or isinstance(value, str):
+        if value is None:
             return None
+        if isinstance(value, str):
+            # path to an .npy produced by estimate_latent_stats
+            import os
+
+            if not os.path.exists(value):
+                return None
+            arr = np.load(value).astype(np.float32)
+            return arr.reshape(1, 1, -1)  # channel vector -> (1, 1, C)
         arr = np.asarray(value, dtype=np.float32)  # (C, 1, 1) in the configs
         if arr.ndim == 3:
             arr = arr.transpose(1, 2, 0)  # -> (1, 1, C)

@@ -99,16 +99,17 @@ class VideoDataset:
         if not os.path.isdir(split_dir):
             raise FileNotFoundError(f"dataset split directory not found: {split_dir}")
         metadata = []
-        for name in sorted(os.listdir(split_dir)):
-            path = os.path.join(split_dir, name)
-            if name.endswith(".npz"):
-                with np.load(path) as z:
-                    length = z["video"].shape[0]
-            elif name.endswith(".npy"):
-                length = np.load(path, mmap_mode="r").shape[0]
-            else:
-                continue
-            metadata.append({"path": path, "length": length})
+        for root, _dirs, files in sorted(os.walk(split_dir)):
+            for name in sorted(files):
+                path = os.path.join(root, name)
+                if name.endswith(".npz"):
+                    with np.load(path) as z:
+                        length = z["video"].shape[0]
+                elif name.endswith(".npy"):
+                    length = np.load(path, mmap_mode="r").shape[0]
+                else:
+                    continue
+                metadata.append({"path": path, "length": length})
         os.makedirs(os.path.join(self.save_dir, "metadata"), exist_ok=True)
         np.savez(
             cache,
@@ -133,14 +134,33 @@ class VideoDataset:
     def _load_cond(self, meta, start: int, end: int) -> Optional[np.ndarray]:
         if not self.external_cond_dim:
             return None
+        cond_type = self.cfg.get("external_cond_type")
         path = meta["path"]
+        if cond_type == "label":
+            # per-video class label: npz 'label' key, else parent class dir
+            if path.endswith(".npz"):
+                with np.load(path) as z:
+                    if "label" in z:
+                        return np.asarray(z["label"], dtype=np.int32).reshape(())
+            return np.asarray(self._dir_label(path), dtype=np.int32).reshape(())
         if path.endswith(".npz"):
             with np.load(path) as z:
-                if "actions" in z:
-                    return z["actions"][start:end].astype(np.float32)
-                if "conds" in z:
-                    return z["conds"][start:end].astype(np.float32)
+                # actions (DMLab/Minecraft/BAIR) or raw camera poses (RE10K:
+                # intrinsics + flattened 3x4 extrinsics per frame)
+                for key in ("actions", "conds", "poses"):
+                    if key in z:
+                        return z[key][start:end].astype(np.float32)
         raise FileNotFoundError(f"no conditions found in {path}")
+
+    def _dir_label(self, path: str) -> int:
+        """Class index from the parent directory name (UCF-101 layout)."""
+        if not hasattr(self, "_class_to_idx"):
+            split_dir = self._split_dir()
+            classes = sorted(
+                {os.path.basename(os.path.dirname(m["path"])) for m in self.metadata}
+            )
+            self._class_to_idx = {c: i for i, c in enumerate(classes)}
+        return self._class_to_idx[os.path.basename(os.path.dirname(path))]
 
     def _load_latent(self, meta, start: int, end: int) -> np.ndarray:
         latent_dir = f"{self.save_dir}_latent_{self.resolution}"
@@ -170,14 +190,40 @@ class VideoDataset:
             if self.external_cond_dim:
                 cond = self._load_cond(meta, start, end)
 
-        length = next(len(a) for a in (video, latent, cond) if a is not None)
+        # training-time augmentation (consistent with camera poses when present)
+        if self.split == "training":
+            aug = self.cfg.get("augmentation")
+            aug_prob = self.cfg.get("augmentation_prob", 0.0) or 0.0
+            rng = np.random.RandomState((idx * 2654435761 + 12345) % 2**31)
+            if aug is not None and video is not None:
+                from .augmentation import re10k_augment
+
+                is_pose = cond is not None and cond.ndim == 2 and cond.shape[-1] == 16
+                video, new_cond = re10k_augment(
+                    video, cond if is_pose else None, rng,
+                    horizontal_flip_prob=aug.get("horizontal_flip_prob", 0.0) or 0.0,
+                    reverse_prob=aug.get("reverse_prob", 0.0) or 0.0,
+                    back_and_forth_prob=aug.get("back_and_forth_prob", 0.0) or 0.0,
+                )
+                if is_pose:
+                    cond = new_cond
+            elif aug_prob > 0 and video is not None:
+                from .augmentation import AugmentPipe
+
+                video = AugmentPipe(p=aug_prob)(video, rng)
+
+        length = next(
+            len(a)
+            for a in (video, latent, cond if cond is not None and cond.ndim > 0 else None)
+            if a is not None
+        )
         pad = self.n_frames - length
         nonterminal = np.ones(self.n_frames, dtype=bool)
         if pad > 0:
             nonterminal[-pad:] = False
 
         def pad_t(a):
-            if a is None or pad == 0:
+            if a is None or pad == 0 or a.ndim == 0:
                 return a
             return np.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
 
@@ -189,14 +235,11 @@ class VideoDataset:
                 latent = latent[:: self.frame_skip]
             nonterminal = nonterminal[:: self.frame_skip]
         if cond is not None:
-            cond = (
-                stack_external_cond(cond, self.frame_skip)
-                if self.external_cond_stack
-                else cond[:: self.frame_skip]
-                if self.frame_skip > 1 and cond.shape[0] != nonterminal.shape[0]
-                else cond
-            )
-            # per-video labels stay scalar
+            if cond.ndim > 0:  # per-frame conditions; labels stay scalar
+                if self.external_cond_stack:
+                    cond = stack_external_cond(cond, self.frame_skip)
+                elif self.frame_skip > 1 and cond.shape[0] != nonterminal.shape[0]:
+                    cond = cond[:: self.frame_skip]
             out["conds"] = cond
 
         if video is not None:

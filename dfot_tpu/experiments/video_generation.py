@@ -85,13 +85,25 @@ class VideoGenerationExperiment:
         tcfg = cfg.experiment.training
         accumulate = tcfg.optim.get("accumulate_grad_batches", 1)
 
-        dataset = build_dataset(cfg.dataset, "training")
-        loader = DataLoader(
-            dataset,
-            batch_size=tcfg.batch_size,
-            shuffle=tcfg.data.get("shuffle", True),
-            seed=tcfg.get("manual_seed", 0),
-        )
+        # sub-epoch resumable data: with subdataset_size set, each epoch is a
+        # deterministic slice of a seeded global shuffle (reference
+        # resumable_data_module.py:14-54)
+        sub = cfg.dataset.get("subdataset_size")
+        use_subdataset = isinstance(sub, int)
+
+        def make_loader(epoch: int) -> DataLoader:
+            dataset = build_dataset(
+                cfg.dataset, "training",
+                current_epoch=epoch if use_subdataset else None,
+            )
+            return DataLoader(
+                dataset,
+                batch_size=tcfg.batch_size,
+                shuffle=tcfg.data.get("shuffle", True),
+                seed=tcfg.get("manual_seed", 0),
+            )
+
+        loader = make_loader(0)
 
         # data axis must divide the global batch; spare devices go to fsdp
         import math
@@ -214,6 +226,8 @@ class VideoGenerationExperiment:
                         done = True
                         break
                 epoch += 1
+                if use_subdataset and not done:
+                    loader = make_loader(epoch)
                 if max_epochs is not None and epoch >= max_epochs:
                     done = True
         save_checkpoint(self.ckpt_dir, step, state, save_top_k)

@@ -1,0 +1,143 @@
+"""Dataset layer tests: clip indexing parity, npz loading, labels, poses,
+augmentation consistency, sub-epoch resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dfot_tpu.config import load_config
+from dfot_tpu.data import (
+    DataLoader,
+    SyntheticVideoDataset,
+    VideoDataset,
+    build_dataset,
+    build_idx_remap,
+    clip_location,
+    cumulative_clip_sizes,
+    stack_external_cond,
+)
+from dfot_tpu.data.augmentation import AugmentPipe, mirror_poses, re10k_augment
+
+
+def test_cumulative_clip_sizes():
+    assert cumulative_clip_sizes([10, 5, 3], 4) == [7, 9, 10]
+    # short video still yields one clip
+    assert cumulative_clip_sizes([2], 4) == [1]
+
+
+def test_idx_remap_subdataset_resume():
+    cs = list(np.cumsum([5] * 20))  # 100 clips
+    r0 = build_idx_remap(cs, subdataset_size=30, current_subepoch=0)
+    r1 = build_idx_remap(cs, subdataset_size=30, current_subepoch=1)
+    r2 = build_idx_remap(cs, subdataset_size=30, current_subepoch=2)
+    assert len(r0) == len(r1) == 30
+    # consecutive subepochs are disjoint slices of the same epoch shuffle
+    assert not (set(r0) & set(r1))
+    # deterministic
+    assert r0 == build_idx_remap(cs, subdataset_size=30, current_subepoch=0)
+    # subepoch 3 wraps into the next epoch's shuffle (covers 90..120 > 100)
+    r3 = build_idx_remap(cs, subdataset_size=30, current_subepoch=3)
+    assert len(r3) == 30
+
+
+def test_idx_remap_eval_one_clip_per_video():
+    import bisect
+
+    cs = list(np.cumsum([5, 5, 5, 5]))
+    remap = build_idx_remap(cs, num_eval_videos=3)
+    assert len(remap) == 3
+    videos = {bisect.bisect_right(cs, r) for r in remap}
+    assert len(videos) == 3  # one clip from each of 3 distinct videos
+
+
+def test_stack_external_cond():
+    cond = np.arange(12, dtype=np.float32).reshape(6, 2)
+    out = stack_external_cond(cond, 2)
+    assert out.shape == (3, 4)
+    # frame 0 carries [pad, cond0]
+    np.testing.assert_array_equal(out[0], [0, 0, 0, 1])
+    np.testing.assert_array_equal(out[1], [2, 3, 4, 5])
+
+
+def _make_npz_dataset(root, n_videos=3, length=10, with_poses=False, classes=None):
+    for split in ("training", "validation"):
+        for i in range(n_videos):
+            cls = classes[i % len(classes)] if classes else ""
+            d = os.path.join(root, split, cls)
+            os.makedirs(d, exist_ok=True)
+            rng = np.random.RandomState(i)
+            data = {"video": (rng.rand(length, 8, 8, 3) * 255).astype(np.uint8)}
+            if with_poses:
+                K = np.tile([1.0, 1.0, 0.5, 0.5], (length, 1))
+                ext = np.tile(
+                    np.concatenate([np.eye(3), np.zeros((3, 1))], 1).reshape(12),
+                    (length, 1),
+                )
+                data["poses"] = np.concatenate([K, ext], -1).astype(np.float32)
+            np.savez(os.path.join(d, f"v{i}.npz"), **data)
+
+
+def test_video_dataset_poses(tmp_path):
+    _make_npz_dataset(str(tmp_path), with_poses=True)
+    cfg = load_config([
+        "dataset=realestate10k", f"dataset.save_dir={tmp_path}",
+        "dataset.resolution=8", "dataset.max_frames=4", "dataset.n_frames=4",
+        "dataset.frame_skip=1", "dataset.subdataset_size=null",
+        "++dataset.augmentation.horizontal_flip_prob=0",
+    ]).dataset
+    ds = VideoDataset(cfg, "training")
+    item = ds[0]
+    assert item["videos"].shape == (4, 8, 8, 3)
+    assert item["conds"].shape == (4, 16)
+    assert item["nonterminal"].all()
+
+
+def test_video_dataset_labels(tmp_path):
+    _make_npz_dataset(str(tmp_path), classes=["cat", "dog"])
+    cfg = load_config([
+        "dataset=cond_ucf_101", f"dataset.save_dir={tmp_path}",
+        "dataset.resolution=8", "dataset.max_frames=4", "dataset.n_frames=4",
+    ]).dataset
+    ds = VideoDataset(cfg, "training")
+    labels = {int(ds[i]["conds"]) for i in range(len(ds))}
+    assert labels <= {0, 1} and len(labels) == 2
+
+
+def test_augment_pipe_and_pose_mirror():
+    rng = np.random.RandomState(0)
+    v = np.random.RandomState(1).rand(3, 8, 8, 3).astype(np.float32)
+    out = AugmentPipe(p=1.0)(v, rng)
+    assert out.shape == v.shape and out.min() >= 0 and out.max() <= 1
+    # pose mirror is an involution
+    poses = np.random.RandomState(2).rand(2, 4, 16).astype(np.float32)
+    np.testing.assert_allclose(mirror_poses(mirror_poses(poses)), poses, atol=1e-6)
+
+
+def test_re10k_augment_consistency():
+    rng = np.random.RandomState(0)
+    video = np.random.RandomState(1).rand(4, 8, 8, 3).astype(np.float32)
+    K = np.tile([1.0, 1.0, 0.25, 0.5], (4, 1)).astype(np.float32)
+    ext = np.tile(
+        np.concatenate([np.eye(3), np.ones((3, 1))], 1).reshape(12), (4, 1)
+    ).astype(np.float32)
+    poses = np.concatenate([K, ext], -1)
+    v2, p2 = re10k_augment(video, poses, rng, horizontal_flip_prob=1.0)
+    np.testing.assert_allclose(v2, video[:, :, ::-1])
+    assert p2[0, 2] == 0.75  # px mirrored
+    # reversal keeps pairing
+    v3, p3 = re10k_augment(video, poses, np.random.RandomState(3),
+                           horizontal_flip_prob=0.0, reverse_prob=1.0)
+    np.testing.assert_allclose(v3, video[::-1])
+    np.testing.assert_allclose(p3, poses[::-1])
+
+
+def test_dataloader_epochs():
+    ds = SyntheticVideoDataset(num_videos=32, n_frames=2, resolution=4)
+    loader = DataLoader(ds, batch_size=4, shuffle=True, drop_last=True, seed=0)
+    e1 = np.concatenate([b["videos"] for b in loader])
+    e2 = np.concatenate([b["videos"] for b in loader])
+    assert e1.shape == (32, 2, 4, 4, 3)
+    # same multiset of items, different order across epochs
+    assert not np.allclose(e1, e2)
+    np.testing.assert_allclose(np.sort(e1.reshape(32, -1), 0), np.sort(e2.reshape(32, -1), 0))
