@@ -6,8 +6,11 @@ Families:
 - DC-AE / AutoencoderKL / TiTok wrappers: planned (weight-import shims).
 """
 
+from .autoencoder_kl import AutoencoderKL, KL_F8_CONFIG, import_diffusers_vae_params
+from .dc_ae import DCAE, DCAEConfig
 from .distribution import DiagonalGaussian
 from .image_vae import Decoder, Encoder, ImageVAE, ImageVAEConfig
+from .titok import TiTokConfig, TiTokKL
 from .losses import (
     LPIPS,
     NLayerDiscriminator,
