@@ -39,6 +39,11 @@ class VideoGenerationExperiment:
         self.ckpt_dir = os.path.join(self.output_dir, "checkpoints")
         self.load_path = load
         self.algo = build_algorithm(cfg)
+        self._codec = None
+        if self.algo.is_latent:
+            from ..vae.codec import LatentCodec
+
+            self._codec = LatentCodec(cfg.algorithm, cfg.dataset)
         self.logger = MetricsLogger(
             self.output_dir,
             cfg.get("wandb").to_dict() if cfg.get("wandb") else None,
@@ -63,18 +68,34 @@ class VideoGenerationExperiment:
         if algo.is_latent:
             if "latents" in batch:
                 xs = batch["latents"]
+            elif str(self.cfg.dataset.latent.type) == "online":
+                # online VAE tokenization (reference on_after_batch_transfer,
+                # base_pytorch_video_algo.py:93-137)
+                self._rng_codec, r = jax.random.split(
+                    getattr(self, "_rng_codec", jax.random.PRNGKey(7))
+                )
+                xs = self._codec.encode_video(batch["videos"], r)
             else:
-                raise NotImplementedError(
-                    "online VAE encoding requires the VAE subsystem; "
-                    "preprocess latents first (experiment=video_latent_preprocessing)"
+                raise FileNotFoundError(
+                    "pre-sampled latents missing; run "
+                    "experiment=video_latent_preprocessing first"
                 )
         else:
             xs = batch["videos"]
         xs = algo.normalize(jnp.asarray(xs))
         masks = jnp.asarray(batch["nonterminal"])
+        conds = batch.get("conds")
+        # frame -> token conversion under temporal compression (token i maps
+        # to frames ((i-1)*f, i*f]; reference _n_frames_to_n_tokens contract)
+        f = algo.temporal_downsampling
+        if f > 1:
+            if masks.shape[1] != xs.shape[1]:
+                masks = masks[:, ::f]
+            if conds is not None and np.ndim(conds) > 1 and conds.shape[1] != xs.shape[1]:
+                conds = conds[:, ::f]
         out = {"xs": xs, "masks": masks}
-        if "conds" in batch:
-            out["conditions"] = batch["conds"]
+        if conds is not None:
+            out["conditions"] = conds
         if "videos" in batch:
             out["gt_videos"] = batch["videos"]
         return out
@@ -277,6 +298,18 @@ class VideoGenerationExperiment:
                 conditions=batch.get("conds"),
             )
             videos = {k: algo.unnormalize(v) for k, v in videos.items()}
+            if algo.is_latent:
+                # decode latents to pixels for metrics/logging (reference
+                # _decode, base_pytorch_video_algo.py:598-629); GT prefers the
+                # original pixel videos when the batch carries them
+                videos = {
+                    k: (
+                        jnp.asarray(batch["videos"])
+                        if k == "gt" and "videos" in batch
+                        else self._codec.decode_video(v)
+                    )
+                    for k, v in videos.items()
+                }
             gt = np.asarray(videos["gt"])
             B, T = gt.shape[:2]
             ctx = np.zeros((B, T), dtype=bool)

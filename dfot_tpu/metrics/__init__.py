@@ -3,3 +3,4 @@ from .functional import mse, psnr, ssim
 from .i3d import I3D
 from .registry import SharedMetricModelRegistry
 from .video_metric import VideoMetric
+from .vbench import VBenchQuality

@@ -106,3 +106,24 @@ def test_video_metric_context_overwrite():
     ctx[:, 0] = True
     vm.update(pred, gt, ctx)
     assert vm.log()["mse"] == pytest.approx(0.0, abs=1e-8)
+
+
+def test_vbench_quality_orders_videos():
+    from dfot_tpu.metrics import VBenchQuality
+
+    rng = np.random.RandomState(0)
+    base = rng.rand(1, 1, 16, 16, 3).astype(np.float32)
+    smooth = np.repeat(base, 8, axis=1)  # static video: no flicker
+    noisy = rng.rand(1, 8, 16, 16, 3).astype(np.float32)
+
+    vb = VBenchQuality()
+    vb.update(smooth)
+    s_smooth = vb.log()
+    vb.update(noisy)
+    s_noisy = vb.log()
+    assert s_smooth["vbench/temporal_flickering"] > s_noisy["vbench/temporal_flickering"]
+    assert s_smooth["vbench/motion_smoothness"] > s_noisy["vbench/motion_smoothness"]
+    # static video has no motion; noise has high dynamic degree
+    assert s_smooth["vbench/dynamic_degree"] == 0.0
+    assert s_noisy["vbench/dynamic_degree"] == 1.0
+    assert 0 <= s_noisy["vbench/quality_score"] <= 1
