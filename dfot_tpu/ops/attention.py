@@ -181,10 +181,19 @@ def _flash_bwd(causal, block_q, block_k, interpret, res, g):
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
+def _pick_block(n: int) -> int:
+    """Largest power-of-two block <= 1024 dividing n (1024 measured fastest
+    on v5e for the DFoT window shapes; smaller blocks add loop overhead)."""
+    for b in (1024, 512, 256, 128):
+        if n % b == 0:
+            return b
+    return 0
+
+
 def _blocks_ok(n: int, d: int) -> bool:
-    # lane dim must tile to 128; seq must split into >=2 aligned blocks to be
-    # worth launching the kernel
-    return n % 256 == 0 and d % 128 == 0
+    # head dim must be a multiple of the 64-wide sublane packing; sequence
+    # must split into aligned blocks
+    return d % 64 == 0 and _pick_block(n) >= 128 and n >= 256
 
 
 def attention(
@@ -206,7 +215,8 @@ def attention(
         else jax.default_backend() == "tpu" and _blocks_ok(n, d)
     )
     if use_pallas:
-        return flash_attention(q, k, v, causal)
+        b = _pick_block(n)
+        return flash_attention(q, k, v, causal, b, b)
     return _xla_attention(q, k, v, causal)
 
 
