@@ -1,14 +1,15 @@
-"""Benchmark: DFoT sampling throughput (frames/sec/chip).
+"""Benchmark: DFoT long-video sampling throughput (frames/sec/chip).
 
-Measures the reference quick-start workload shape — single-image ->
-8-frame video window (BASELINE.md row 2: "<1 min on 1 GPU") — through the
-full jitted sampling stack: 50 DDIM steps x NFE=2 (vanilla history guidance,
-guidance_scale 4.0) backbone evaluations, per-token noise levels, context
-revert. Backbone: DiT-S/2 over 8x32x32x4 latent tokens (2048 tokens/window).
+Default workload mirrors the reference's headline task (BASELINE.md row 1):
+single image -> 200-frame long video via the keyframe (density 0.0625,
+sliding-window) pass + batched interpolation passes, 50 DDIM steps per
+window, NFE=2 vanilla history guidance — the full jitted sampling stack.
+Backbone: DiT-S/2 over 8x32x32x4 latent tokens per window (2048 tokens).
 
-Baseline: the reference generates 8 frames in <60 s on one A100-class GPU
-(README.md:72-74) => 0.133 frames/sec/GPU. vs_baseline reports our
-frames/sec/chip divided by that.
+Baseline: the reference takes ~10 min for the 200-frame rollout on one
+A100-class GPU (README.md:66-69) => 0.333 frames/sec/GPU. vs_baseline is our
+frames/sec/chip over that. (--window8 benches the 8-frame quick-start
+instead; baseline 8 frames / 60 s.)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -23,6 +24,7 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true", help="CPU smoke test")
+    ap.add_argument("--window8", action="store_true", help="8-frame quick-start bench")
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
@@ -62,24 +64,57 @@ def main():
     def model_apply(variables, x, noise_levels, cond, cond_mask):
         return model.apply(variables, x, noise_levels, cond, cond_mask)
 
-    ro = DFoTRollout(
-        RolloutConfig(max_tokens=T, x_shape=(res[0], res[1], ch)),
-        dcfg, sched, model_apply,
-    )
-    hg = HistoryGuidance.vanilla(guidance_scale=4.0, timesteps=dcfg.timesteps)
-
     n_context = 1
-    ctx = jnp.zeros((1, T, res[0], res[1], ch))
-    mask = np.zeros((1, T), dtype=np.int64)
-    mask[:, :n_context] = 1
-
-    def run(seed):
-        out = ro.sample_sequence(
-            variables, jax.random.PRNGKey(seed), 1, length=T,
-            context=ctx, context_mask=mask, history_guidance=hg,
+    if args.window8 or args.tiny:
+        ro = DFoTRollout(
+            RolloutConfig(max_tokens=T, x_shape=(res[0], res[1], ch)),
+            dcfg, sched, model_apply,
         )
-        jax.block_until_ready(out)
-        return out
+        hg = HistoryGuidance.vanilla(guidance_scale=4.0, timesteps=dcfg.timesteps)
+        ctx = jnp.zeros((1, T, res[0], res[1], ch))
+        mask = np.zeros((1, T), dtype=np.int64)
+        mask[:, :n_context] = 1
+
+        def run(seed):
+            out = ro.sample_sequence(
+                variables, jax.random.PRNGKey(seed), 1, length=T,
+                context=ctx, context_mask=mask, history_guidance=hg,
+            )
+            jax.block_until_ready(out)
+
+        gen_frames = T - n_context
+        metric = "frames_per_sec_chip_8f_window_50ddim_nfe2"
+        baseline_fps = 8.0 / 60.0  # reference: 8 frames in <1 min on 1 GPU
+    else:
+        # 200-frame rollout: keyframes (density 0.0625) + interpolation
+        # (BASELINE config #3; stabilized-vanilla HG like the README recipe)
+        total_frames = 200
+        ro = DFoTRollout(
+            RolloutConfig(
+                max_tokens=T, x_shape=(res[0], res[1], ch),
+                keyframe_density=0.0625, sliding_context_len=T // 2,
+                interpolation_max_batch_size=8,
+            ),
+            dcfg, sched, model_apply,
+        )
+        pred_hg = HistoryGuidance.stabilized_vanilla(
+            guidance_scale=4.0, stabilization_level=0.02, timesteps=dcfg.timesteps
+        )
+        interp_hg = HistoryGuidance.vanilla(
+            guidance_scale=1.5, timesteps=dcfg.timesteps
+        )
+        xs = jnp.zeros((1, total_frames, res[0], res[1], ch))
+
+        def run(seed):
+            out = ro.predict_videos(
+                variables, jax.random.PRNGKey(seed), xs, n_context,
+                prediction_hg=pred_hg, interpolation_hg=interp_hg,
+            )
+            jax.block_until_ready(out)
+
+        gen_frames = total_frames - n_context
+        metric = "frames_per_sec_chip_200f_rollout_50ddim_nfe2"
+        baseline_fps = 200.0 / 600.0  # reference: ~10 min on 1 GPU
 
     run(0)  # compile
     times = []
@@ -88,11 +123,9 @@ def main():
         run(i + 1)
         times.append(time.perf_counter() - t0)
 
-    gen_frames = T - n_context
     fps = gen_frames / min(times)
-    baseline_fps = 8.0 / 60.0  # reference: 8 frames in <1 min on 1 GPU
     print(json.dumps({
-        "metric": "frames_per_sec_chip_8f_window_50ddim_nfe2",
+        "metric": metric,
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / baseline_fps, 2),
