@@ -190,6 +190,23 @@ class DFoTVideoAlgo:
                     bcfg.get("merge_type", "concat") if name == "difference_dit3d" else None
                 ),
             )
+            if name == "dit3d_pose":
+                from ..models.dit import DiT3DPose
+
+                common["external_cond_dim"] = conditioning_dim(
+                    self.cfg.camera_pose_conditioning.type
+                )
+                common["external_cond_type"] = "pose"
+                common.pop("use_fourier_noise_emb", None)
+                return DiT3DPose(
+                    spec=spec,
+                    resolution=(h, w),
+                    conditioning_type=bcfg.get("conditioning", {}).get("type", "film")
+                    if bcfg.get("conditioning") is not None
+                    else "film",
+                    use_fourier_noise_emb=bcfg.get("use_fourier_noise_embedding", False),
+                    **common,
+                )
             return DiT3D(spec=spec, resolution=(h, w), **common)
         if name == "u_net3d":
             from ..models.unet3d import UNet3D, UNet3DSpec

@@ -256,6 +256,23 @@ class VideoGenerationExperiment:
 
     # ------------------------------------------------------------------
     def validation(self, namespace: str = "validation") -> None:
+        cfg = self.cfg
+        vcfg = cfg.experiment.validation
+        # val_all_ckpt: sweep every checkpoint_<step>/ dir (reference
+        # simple_video_generation.py val_all_ckpt)
+        if vcfg.get("val_all_ckpt") and os.path.isdir(self.ckpt_dir):
+            ckpts = sorted(
+                (d for d in os.listdir(self.ckpt_dir) if d.startswith("checkpoint_")),
+                key=lambda d: int(d.split("_")[1]),
+            )
+            for ckpt in ckpts:
+                self.load_path = os.path.join(self.ckpt_dir, ckpt)
+                step = int(ckpt.split("_")[1])
+                self._validate_once(f"{namespace}/step_{step}")
+            return
+        self._validate_once(namespace)
+
+    def _validate_once(self, namespace: str = "validation") -> None:
         cfg, algo = self.cfg, self.algo
         vcfg = cfg.experiment.validation
         dataset = build_dataset(cfg.dataset, "validation")

@@ -374,6 +374,7 @@ class DiT3D(nn.Module):
         external_cond: Optional[jax.Array] = None,
         external_cond_mask: Optional[jax.Array] = None,
         train: bool = False,
+        extra_emb: Optional[jax.Array] = None,
     ) -> jax.Array:
         s = self.spec
         B, T, H, W, Cin = x.shape
@@ -391,6 +392,8 @@ class DiT3D(nn.Module):
             dtype=self.dtype,
             name="noise_emb",
         )(noise_levels, train=train)  # (B, T, C)
+        if extra_emb is not None:
+            emb = emb + extra_emb.astype(emb.dtype)
 
         if external_cond is not None and self.external_cond_type is not None:
             if self.external_cond_type == "label":
@@ -429,3 +432,69 @@ class DiT3D(nn.Module):
         out = out.reshape(B, T, gh, gw, p, p, Cin)
         out = out.transpose(0, 1, 2, 4, 3, 5, 6)
         return out.reshape(B, T, H, W, Cin).astype(jnp.float32)
+
+
+class DiT3DPose(nn.Module):
+    """Camera-pose conditioned DiT3D (reference: dit3d_pose.py:13-119).
+
+    Pose conditioning (a (B, T, H, W, C') ray/ray-encoding/Pluecker map):
+    - 'concat': channel-concatenated to x before patchify (output keeps the
+      original x channels),
+    - 'film': patch-embedded with whole-sample dropout, average-pooled per
+      frame, and added to the AdaLN conditioning stream.
+    """
+
+    spec: DiTSpec
+    x_channels: int
+    resolution: Tuple[int, int]
+    conditioning_type: str = "film"  # concat | film
+    external_cond_type: Optional[str] = "pose"
+    external_cond_dim: int = 0
+    external_cond_num_classes: Optional[int] = None
+    external_cond_dropout: float = 0.1
+    use_fourier_noise_emb: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        noise_levels: jax.Array,
+        external_cond: Optional[jax.Array] = None,
+        external_cond_mask: Optional[jax.Array] = None,
+        train: bool = False,
+    ) -> jax.Array:
+        assert external_cond is not None, "DiT3DPose requires camera-pose cond"
+        s = self.spec
+        B, T = x.shape[:2]
+
+        pose_emb = None
+        if self.conditioning_type == "concat":
+            x_in = jnp.concatenate([x, external_cond.astype(x.dtype)], axis=-1)
+        else:  # film: pose patch-embedded -> per-frame vector
+            from .embeddings import PatchEmbed
+
+            x_in = x
+            pose = PatchEmbed(s.patch_size, s.hidden_size, self.dtype, name="pose_embed")(
+                external_cond
+            )  # (B, T, P, C)
+            pose_emb = jnp.mean(pose, axis=2)  # (B, T, C)
+            if self.external_cond_dropout > 0 and train:
+                rng = self.make_rng("dropout")
+                drop = jax.random.uniform(rng, (B,)) < self.external_cond_dropout
+                pose_emb = jnp.where(drop[:, None, None], 0.0, pose_emb)
+            elif external_cond_mask is not None:
+                m = external_cond_mask.reshape(
+                    external_cond_mask.shape + (1,) * (pose_emb.ndim - external_cond_mask.ndim)
+                )
+                pose_emb = jnp.where(m, 0.0, pose_emb)
+
+        out = DiT3D(
+            spec=s,
+            x_channels=x_in.shape[-1],
+            resolution=self.resolution,
+            use_fourier_noise_emb=self.use_fourier_noise_emb,
+            dtype=self.dtype,
+            name="trunk",
+        )(x_in, noise_levels, None, None, train=train, extra_emb=pose_emb)
+        return out[..., : self.x_channels]

@@ -83,3 +83,17 @@ def test_cluster_template_render(tmp_path):
     assert "#SBATCH --job-name=job" in text
     assert "python main.py +name=job" in text
     assert os.path.islink(os.path.join(tmp_path, "slurm_logs", "latest"))
+
+
+def test_history_guidance_visualizer(tmp_path):
+    from dfot_tpu.guidance import HistoryGuidance, visualize_plan
+    from dfot_tpu.sampling.sampler import plan_sampling
+
+    hg = HistoryGuidance.stabilized_vanilla(
+        guidance_scale=4.0, stabilization_level=0.02, timesteps=1000
+    )
+    mask = np.zeros((1, 4), dtype=np.int64)
+    mask[:, :2] = 1
+    plan = plan_sampling(mask, hg, "full_sequence", 1000, 4, 4, 0)
+    path = visualize_plan(plan, 1000, str(tmp_path / "hg.gif"), max_steps=3)
+    assert os.path.exists(path) and os.path.getsize(path) > 0

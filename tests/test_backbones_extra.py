@@ -183,3 +183,60 @@ def test_difference_dit3d_double_streams():
     k = jnp.zeros((1, 4))
     _, out = _init_run(model, x, k)
     assert out.shape == x.shape
+
+
+# ---------------------------------------------------------------------------
+# DiT3DPose
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("ctype", ["film", "concat"])
+def test_dit3d_pose_conditioning(ctype):
+    from dfot_tpu.models.dit import DiT3DPose
+
+    spec = DiTSpec(hidden_size=32, depth=1, num_heads=2, mlp_ratio=2.0,
+                   variant="full", pos_emb_type="rope_3d", patch_size=2,
+                   max_temporal_length=2)
+    model = DiT3DPose(spec=spec, x_channels=3, resolution=(8, 8),
+                      conditioning_type=ctype, external_cond_dim=6)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 8, 8, 3))
+    k = jnp.zeros((1, 2))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 8, 8, 6))
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, x, k, cond)
+    out = model.apply(variables, x, k, cond)
+    assert out.shape == x.shape
+    variables = jax.tree_util.tree_map(lambda a: a + 0.05, variables)
+    o1 = model.apply(variables, x, k, cond)
+    o2 = model.apply(variables, x, k, cond * 2)
+    assert float(jnp.abs(o1 - o2).max()) > 1e-6
+
+
+def test_pose_algo_with_dit3d_pose_backbone():
+    from dfot_tpu.algorithms import build_algorithm
+    from dfot_tpu.config import load_config
+
+    cfg = load_config([
+        "+name=x", "dataset=realestate10k_mini", "algorithm=dfot_video_pose",
+        "algorithm/backbone=dit3d_pose",
+        "dataset.resolution=8", "dataset.max_frames=2", "dataset.n_frames=2",
+        "dataset.context_length=1", "dataset.subdataset_size=null",
+        "++algorithm.backbone.hidden_size=32", "++algorithm.backbone.depth=1",
+        "++algorithm.backbone.num_heads=2",
+        "++algorithm.backbone.use_gradient_checkpointing=false",
+        "++algorithm.diffusion.sampling_timesteps=2",
+    ])
+    algo = build_algorithm(cfg, compute_dtype=jnp.float32)
+    state = algo.make_train_state(jax.random.PRNGKey(0))
+    step = algo.make_train_step()
+    # raw pose vectors (B, T, 16) -> processed to ray maps by the algo
+    raw = np.zeros((2, 2, 16), np.float32)
+    raw[..., :4] = [1, 1, 0.5, 0.5]
+    raw[..., 4:] = np.concatenate([np.eye(3), np.zeros((3, 1))], 1).reshape(12)
+    batch = {
+        "xs": jnp.ones((2, 2, 8, 8, 3)) * 0.3,
+        "masks": jnp.ones((2, 2), bool),
+        "conditions": jnp.asarray(algo.process_conditions(raw)),
+    }
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
