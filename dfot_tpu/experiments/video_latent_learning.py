@@ -93,14 +93,37 @@ class VideoLatentLearningExperiment:
                     {"params": params}, x, r_post, train=True,
                     rngs={"dropout": r_drop},
                 )
-                logits_fake, _ = disc.apply(
-                    {"params": d_state.params, "batch_stats": bn_stats},
-                    flat(recon), True, mutable=["batch_stats"],
+
+                def disc_g(r):
+                    logits, _ = disc.apply(
+                        {"params": d_state.params, "batch_stats": bn_stats},
+                        flat(r), True, mutable=["batch_stats"],
+                    )
+                    return -jnp.mean(logits), logits
+
+                # adaptive generator weight ||grad_rec|| / ||grad_gan|| taken
+                # at the reconstruction (reference calculate_adaptive_weight
+                # uses the decoder's last layer; the recon-space ratio is the
+                # same quantity up to the shared last-layer Jacobian)
+                def rec_of(r):
+                    if loss_type == "l1":
+                        return jnp.mean(jnp.abs(r - x))
+                    return jnp.mean((r - x) ** 2)
+
+                g_rec = jax.grad(rec_of)(jax.lax.stop_gradient(recon))
+                g_gan = jax.grad(lambda r: disc_g(r)[0])(jax.lax.stop_gradient(recon))
+                d_weight = jnp.linalg.norm(g_rec.ravel()) / (
+                    jnp.linalg.norm(g_gan.ravel()) + 1e-4
                 )
+                d_weight = jnp.clip(jax.lax.stop_gradient(d_weight), 0.0, 1e4)
+
+                _, logits_fake = disc_g(recon)
                 total, parts = vae_generator_loss(
                     recon, x, posterior.kl(), logits_fake,
                     kl_weight=kl_weight, disc_weight=dw, loss_type=loss_type,
+                    adaptive_weight=d_weight,
                 )
+                parts["d_weight"] = d_weight
                 return total, (parts, recon)
 
             (g_total, (parts, recon)), g_grads = jax.value_and_grad(

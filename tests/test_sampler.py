@@ -154,3 +154,19 @@ def test_pyramid_scheduling_window():
     np.testing.assert_allclose(
         _frame_values(out)[0], np.arange(4) / 10.0, atol=2e-3
     )
+
+
+def test_gibbs_scheduling_window():
+    ro = _rollout(scheduling_matrix="gibbs")
+    out = ro.sample_sequence({}, jax.random.PRNGKey(0), batch_size=1, length=4)
+    np.testing.assert_allclose(
+        _frame_values(out)[0], np.arange(4) / 10.0, atol=2e-3
+    )
+
+
+def test_interleaved_scheduling_window():
+    ro = _rollout(scheduling_matrix="interleaved")
+    out = ro.sample_sequence({}, jax.random.PRNGKey(0), batch_size=1, length=4)
+    np.testing.assert_allclose(
+        _frame_values(out)[0], np.arange(4) / 10.0, atol=2e-3
+    )

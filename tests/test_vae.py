@@ -164,3 +164,35 @@ def test_latent_preprocessing_experiment(tmp_path):
     lat = np.load(os.path.join(latent_dir, "v0.npy"))
     assert lat.shape == (3, 4, 4, 4)  # 9 frames -> 3 tokens
     assert lat.dtype == np.float16
+
+
+def test_vae_learning_experiment(tmp_path):
+    """Two AE+discriminator steps through the experiment API (adaptive
+    weight active)."""
+    from dfot_tpu.config import load_config
+    from dfot_tpu.experiments.video_latent_learning import (
+        VideoLatentLearningExperiment,
+    )
+
+    cfg = load_config([
+        "+name=vae_smoke",
+        "dataset=ucf_101",   # synthetic fallback
+        "algorithm=image_vae",
+        "experiment=video_latent_learning",
+        "dataset.resolution=16",
+        "dataset.max_frames=2",
+        "++algorithm.ddconfig.ch=32",
+        "++algorithm.ddconfig.ch_mult=[1,2]",
+        "++algorithm.ddconfig.num_res_blocks=1",
+        "++algorithm.lossconfig.disc_start=1",
+        "experiment.training.batch_size=2",
+        "experiment.training.max_steps=2",
+    ])
+    exp = VideoLatentLearningExperiment(cfg, str(tmp_path))
+    exp.exec_task("training")
+    import json
+
+    lines = [json.loads(l) for l in open(os.path.join(exp.output_dir, "metrics.jsonl"))]
+    assert lines and np.isfinite(lines[-1]["g_total"])
+    assert "d_weight" in lines[-1]
+    assert os.path.isdir(exp.ckpt_dir)
