@@ -5,16 +5,24 @@ The denoiser's hot loop is attention over N = T * H * W / p**2 tokens
 naive O(N^2)-memory SDPA that also materializes attention weights for its
 hook system (reference: dit_blocks.py:21-44). Here:
 
-- ``flash_attention``: a Pallas TPU kernel, online-softmax tiling, O(N)
-  memory, fp32 accumulation, bf16-friendly. Forward-only custom_vjp whose
-  backward recomputes through the XLA path (sampling = forward only; training
-  gets a correct, fused XLA backward).
+- ``flash_attention``: Pallas TPU kernels for BOTH directions —
+  online-softmax forward saving per-row log-sum-exp, blockwise-recomputing
+  backward (dq / dk+dv) — O(N) memory, fp32 accumulation, bf16-friendly.
+  (XLA's attention VJP materializes the N x N scores, which OOMs HBM at
+  video token counts.)
 - ``attention``: dispatcher — Pallas on TPU for aligned shapes, XLA's fused
   ``jax.nn.dot_product_attention`` otherwise (also used under
   ``interpret=True`` tests on CPU).
 - ``attention_with_weights``: debug path returning the full weight tensor for
   the attention-statistics capture system (parity with the reference's
   attn-map hooks).
+
+Layout notes (v5e): per-row statistics (lse, delta) are carried as (N, 1)
+column vectors — keepdims reductions keep them in the sublane dimension with
+no relayout casts, and (block, 1) tiles stay tiny in VMEM. dk/dv are
+computed as a grid reduction over query blocks with a revisited full-length
+output block (matmul-reduction pattern), so no kernel ever holds a
+full-length padded statistics buffer.
 """
 
 from __future__ import annotations
@@ -51,17 +59,19 @@ def set_attention_capture(enabled: bool) -> None:
 def attention_capture_enabled() -> bool:
     return _CAPTURE_ATTENTION
 
+
 _NEG_INF = -1e30
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, *, block_k: int, seq_len: int, causal: bool, sm_scale: float
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, seq_len: int,
+    causal: bool, sm_scale: float
 ):
     """One (batch*head, q-block) program: stream K/V blocks with online softmax.
 
-    Refs are (1, BLK_Q, D) for q/o and (1, N, D) for k/v (kept whole in VMEM:
-    the windows here are a few thousand tokens * 64-128 dims = well under the
-    ~16MB VMEM budget; block streaming still bounds the score matrix).
+    Refs are (1, BLK_Q, D) for q/o, (1, N, D) for k/v (whole in VMEM: a few
+    thousand tokens * 64-128 dims is well under the ~16MB budget; block
+    streaming still bounds the score matrix), (1, BLK_Q, 1) for lse.
     """
     q = q_ref[0].astype(jnp.float32) * sm_scale
     blk_q, d = q.shape
@@ -69,7 +79,7 @@ def _flash_kernel(
     q_block_start = pl.program_id(1) * blk_q
 
     def body(i, carry):
-        acc, m_i, l_i = carry
+        acc, m_i, l_i = carry  # (blk_q, d), (blk_q, 1), (blk_q, 1)
         k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(
@@ -83,20 +93,21 @@ def _flash_kernel(
                 jnp.int32, (blk_q, block_k), 1
             )
             s = jnp.where(q_pos >= k_pos, s, _NEG_INF)
-        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1))
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m_i - m_new)
-        p = jnp.exp(s - m_new[:, None])
-        l_new = l_i * alpha + jnp.sum(p, axis=-1)
-        acc = acc * alpha[:, None] + jax.lax.dot_general(
+        p = jnp.exp(s - m_new)
+        l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         return acc, m_new, l_new
 
     acc0 = jnp.zeros((blk_q, d), jnp.float32)
-    m0 = jnp.full((blk_q,), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((blk_q,), jnp.float32)
-    acc, _, l_i = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
-    o_ref[0] = (acc / l_i[:, None]).astype(o_ref.dtype)
+    m0 = jnp.full((blk_q, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((blk_q, 1), jnp.float32)
+    acc, m_i, l_i = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    o_ref[0] = (acc / l_i).astype(o_ref.dtype)
+    lse_ref[0] = m_i + jnp.log(l_i)  # (blk_q, 1)
 
 
 def _flash_forward(
@@ -107,8 +118,9 @@ def _flash_forward(
     block_q: int,
     block_k: int,
     interpret: bool,
-) -> jax.Array:
-    """q, k, v: (B, H, N, D) -> (B, H, N, D)."""
+    return_lse: bool = False,
+):
+    """q, k, v: (B, H, N, D) -> (B, H, N, D) [, lse (B, H, N, 1)]."""
     b, h, n, d = q.shape
     sm_scale = 1.0 / math.sqrt(d)
     block_q = min(block_q, n)
@@ -122,21 +134,241 @@ def _flash_forward(
     kernel = functools.partial(
         _flash_kernel, block_k=block_k, seq_len=n, causal=causal, sm_scale=sm_scale
     )
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, n, 1), jnp.float32),
+        ),
         grid=(b * h, n // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
     )(qf, kf, vf)
-    return out.reshape(b, h, n, d)
+    out = out.reshape(b, h, n, d)
+    if return_lse:
+        return out, lse.reshape(b, h, n, 1)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# flash backward — O(N) memory like the forward
+# ---------------------------------------------------------------------------
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    *, block_k: int, seq_len: int, causal: bool, sm_scale: float,
+):
+    """One (batch*head, q-block): dq = sum_k ds @ k with
+    ds = p * (dO v^T - delta) * sm_scale, p = exp(q k^T * scale - lse)."""
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]      # (blk_q, 1)
+    delta = delta_ref[0]  # (blk_q, 1)
+    blk_q, d = q.shape
+    num_kb = seq_len // block_k
+    q_start = pl.program_id(1) * blk_q
+
+    def body(i, dq):
+        kb = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        vb = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+        if causal:
+            q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (blk_q, block_k), 0)
+            k_pos = i * block_k + jax.lax.broadcasted_iota(jnp.int32, (blk_q, block_k), 1)
+            s = jnp.where(q_pos >= k_pos, s, _NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * sm_scale
+        return dq + jax.lax.dot_general(
+            ds, kb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    dq = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((blk_q, d), jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_hbm, k_ref, v_ref, do_hbm, lse_hbm, delta_hbm, dk_ref, dv_ref,
+    *, block_q: int, seq_len: int, causal: bool, sm_scale: float,
+    q_dtype,
+):
+    """One (batch*head, k-block): dv = sum_q p^T dO, dk = sum_q ds^T q.
+
+    q/dO/lse/delta stay in HBM and are DMA'd per q-block into double-buffered
+    scratch — full-length VMEM inputs (padded to 128 lanes) would blow the
+    scoped budget at video sequence lengths.
+    """
+    kb = k_ref[0].astype(jnp.float32)
+    vb = v_ref[0].astype(jnp.float32)
+    blk_k, d = kb.shape  # d is the 128-lane padded head dim
+    num_qb = seq_len // block_q
+    k_start = pl.program_id(1) * blk_k
+    bh = pl.program_id(0)
+
+    def scoped(q_buf, do_buf, lse_buf, delta_buf, sems):
+        def get_copies(slot, i):
+            src = pl.ds(i * block_q, block_q)
+            return (
+                pltpu.make_async_copy(q_hbm.at[bh, src, :], q_buf.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(do_hbm.at[bh, src, :], do_buf.at[slot], sems.at[slot, 1]),
+                pltpu.make_async_copy(lse_hbm.at[bh, src, :], lse_buf.at[slot], sems.at[slot, 2]),
+                pltpu.make_async_copy(delta_hbm.at[bh, src, :], delta_buf.at[slot], sems.at[slot, 3]),
+            )
+
+        for c in get_copies(0, 0):
+            c.start()
+
+        def body(i, carry):
+            dk, dv = carry
+            slot = i % 2
+
+            @pl.when(i + 1 < num_qb)
+            def _():
+                for c in get_copies((i + 1) % 2, i + 1):
+                    c.start()
+
+            for c in get_copies(slot, i):
+                c.wait()
+
+            q = q_buf[slot].astype(jnp.float32)
+            do = do_buf[slot].astype(jnp.float32)
+            # lse/delta are lane-broadcast to exactly blk_k lanes, so every
+            # elementwise op below is on aligned (block_q, blk_k) tiles
+            lse = lse_buf[slot]
+            delta = delta_buf[slot]
+            s = jax.lax.dot_general(
+                q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * sm_scale
+            if causal:
+                q_pos = i * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, blk_k), 0
+                )
+                k_pos = k_start + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, blk_k), 1
+                )
+                s = jnp.where(q_pos >= k_pos, s, _NEG_INF)
+            p = jnp.exp(s - lse)
+            dv = dv + jax.lax.dot_general(
+                p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            dp = jax.lax.dot_general(
+                do, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            ds = p * (dp - delta) * sm_scale
+            dk = dk + jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            return dk, dv
+
+        dk0 = jnp.zeros((blk_k, d), jnp.float32)
+        dv0 = jnp.zeros((blk_k, d), jnp.float32)
+        dk, dv = jax.lax.fori_loop(0, num_qb, body, (dk0, dv0))
+        dk_ref[0] = dk.astype(dk_ref.dtype)
+        dv_ref[0] = dv.astype(dv_ref.dtype)
+
+    pl.run_scoped(
+        scoped,
+        q_buf=pltpu.VMEM((2, block_q, d), q_dtype),
+        do_buf=pltpu.VMEM((2, block_q, d), q_dtype),
+        lse_buf=pltpu.VMEM((2, block_q, blk_k), jnp.float32),
+        delta_buf=pltpu.VMEM((2, block_q, blk_k), jnp.float32),
+        sems=pltpu.SemaphoreType.DMA((2, 4)),
+    )
+
+
+def _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k, interpret):
+    b, h, n, d = q.shape
+    sm_scale = 1.0 / math.sqrt(d)
+    # the backward holds more live f32 tiles (s, p, dp, ds) than the forward;
+    # cap blocks harder so long sequences stay inside scoped VMEM
+    cap = 512 if n <= 4096 else 256
+    block_q = min(block_q, n, cap)
+    block_k = min(block_k, n, cap)
+    qf, kf, vf = (a.reshape(b * h, n, d) for a in (q, k, v))
+    dof = g.reshape(b * h, n, d)
+    lsef = lse.reshape(b * h, n, 1)
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True
+    ).reshape(b * h, n, 1)
+
+    full = lambda i, j: (i, 0, 0)
+    qblk = lambda i, j: (i, j, 0)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel, block_k=block_k, seq_len=n, causal=causal,
+            sm_scale=sm_scale,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
+        grid=(b * h, n // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), qblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), qblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), qblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), qblk, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), qblk, memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qf, kf, vf, dof, lsef, delta)
+
+    # dk/dv: q/dO/lse/delta stay in HBM and are DMA'd per q-block, so every
+    # HBM slice must be 128-lane aligned — pad the head dim to 128 (zero
+    # lanes are inert through all the dots) and lane-broadcast lse/delta to
+    # the k-block width so the elementwise tiles align exactly.
+    dkv_block_k = 128
+    d_pad = -d % 128
+    qp, kp, vp, dop = (
+        jnp.pad(a, ((0, 0), (0, 0), (0, d_pad))) for a in (qf, kf, vf, dof)
+    )
+    lse_b = jnp.broadcast_to(lsef, (b * h, n, dkv_block_k))
+    delta_b = jnp.broadcast_to(delta, (b * h, n, dkv_block_k))
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel, block_q=block_q, seq_len=n, causal=causal,
+            sm_scale=sm_scale, q_dtype=q.dtype,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, n, d + d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, n, d + d_pad), jnp.float32),
+        ),
+        grid=(b * h, n // dkv_block_k),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # q stays in HBM
+            pl.BlockSpec((1, dkv_block_k, d + d_pad), qblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dkv_block_k, d + d_pad), qblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # dO stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # lse
+            pl.BlockSpec(memory_space=pltpu.ANY),  # delta
+        ],
+        out_specs=(
+            pl.BlockSpec((1, dkv_block_k, d + d_pad), qblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dkv_block_k, d + d_pad), qblk, memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse_b, delta_b)
+
+    shape = (b, h, n, d)
+    return (
+        dq.reshape(shape),
+        dk[..., :d].astype(k.dtype).reshape(shape),
+        dv[..., :d].astype(v.dtype).reshape(shape),
+    )
 
 
 def _xla_attention(q, k, v, causal):
@@ -160,32 +392,32 @@ def flash_attention(
     block_k: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
-    """Pallas flash attention, (B, H, N, D) layout.
-
-    Backward pass differentiates through the XLA attention (identical math);
-    the Pallas kernel accelerates the forward/sampling path.
-    """
+    """Pallas flash attention, (B, H, N, D) layout, differentiable."""
     return _flash_forward(q, k, v, causal, block_q, block_k, interpret)
 
 
 def _flash_fwd(q, k, v, causal, block_q, block_k, interpret):
-    return _flash_forward(q, k, v, causal, block_q, block_k, interpret), (q, k, v)
+    out, lse = _flash_forward(
+        q, k, v, causal, block_q, block_k, interpret, return_lse=True
+    )
+    return out, (q, k, v, out, lse)
 
 
 def _flash_bwd(causal, block_q, block_k, interpret, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, causal), q, k, v)
-    return vjp(g)
+    q, k, v, out, lse = res
+    return _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k, interpret)
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
 def _pick_block(n: int) -> int:
-    """Largest power-of-two block <= 1024 dividing n (1024 measured fastest
-    on v5e for the DFoT window shapes; smaller blocks add loop overhead)."""
-    for b in (1024, 512, 256, 128):
-        if n % b == 0:
+    """Forward block size: 1024 measured fastest on v5e for N=2048 windows;
+    for long sequences the (blk_q x blk_k) fp32 score/prob tiles must stay
+    within the ~16MB scoped VMEM budget, so cap at 512 beyond 4096 tokens."""
+    cap = 1024 if n <= 4096 else 512
+    for b in (cap, 512, 256, 128):
+        if b <= cap and n % b == 0:
             return b
     return 0
 
