@@ -297,7 +297,9 @@ def build_dataset(cfg, split: str = "training", current_epoch: Optional[int] = N
     name = cfg.get("_name", "")
     if name == "synthetic" or not os.path.isdir(str(cfg.save_dir)):
         return SyntheticVideoDataset(
-            num_videos=cfg.get("num_eval_videos") or 16,
+            num_videos=(
+                256 if split == "training" else cfg.get("num_eval_videos") or 16
+            ),
             n_frames=1 + ((cfg.max_frames if split == "training" else cfg.n_frames) - 1)
             * cfg.frame_skip,
             resolution=cfg.resolution,
