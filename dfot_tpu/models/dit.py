@@ -307,10 +307,31 @@ class DiTBase(nn.Module):
         )
 
     def __call__(self, x: jax.Array, c: jax.Array) -> jax.Array:
-        """x, c: (B, N, C) with N = T * num_patches (flattened row-major)."""
+        """x, c: (B, N, C) with N = T * num_patches (flattened row-major).
+
+        Joint image-video training (reference dit_base.py:326-343): tokens
+        beyond max_temporal_length * P are treated as single-frame images —
+        reshaped to (B * T_img, P) length-1 sequences, run through the same
+        blocks, and concatenated back.
+        """
         s = self.spec
-        B, N, C = x.shape
         P = self.num_patches or 1
+        max_tokens = s.max_temporal_length * P
+        if x.shape[1] > max_tokens:
+            x_vid, x_img = x[:, :max_tokens], x[:, max_tokens:]
+            c_vid, c_img = c[:, :max_tokens], c[:, max_tokens:]
+            B0 = x.shape[0]
+            t_img = x_img.shape[1] // P
+            out_vid = self(x_vid, c_vid)
+            out_img = self(
+                x_img.reshape(B0 * t_img, P, x.shape[-1]),
+                c_img.reshape(B0 * t_img, P, c.shape[-1]),
+            )
+            return jnp.concatenate(
+                [out_vid, out_img.reshape(B0, t_img * P, -1)], axis=1
+            )
+
+        B, N, C = x.shape
         T = N // P
 
         if self.pos_emb is not None:

@@ -232,3 +232,26 @@ def test_dit3d_gradients_flow():
     # final-layer weight gradient; trunk grads are zero only at exact init
     total = sum(float(jnp.abs(l).sum()) for l in leaves)
     assert total > 0
+
+
+def test_dit3d_joint_image_video_training():
+    """Tokens beyond max_temporal_length are processed as independent
+    single-frame images (reference dit_base.py:326-343)."""
+    model = _make_model()  # max_temporal_length = 4
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 6, 8, 8, 3))  # 4 video + 2 img
+    k = jnp.full((1, 6), 100.0)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, x, k)
+    variables = jax.tree_util.tree_map(lambda a: a + 0.05, variables)
+    out = model.apply(variables, x, k)
+    assert out.shape == x.shape
+    # image frames are independent: perturbing image frame 5 leaves image
+    # frame 4 (and all video frames) unchanged
+    o2 = model.apply(variables, x.at[:, 5].add(1.0), k)
+    np.testing.assert_allclose(np.asarray(out[:, :5]), np.asarray(o2[:, :5]), atol=1e-4)
+    assert float(jnp.abs(out[:, 5] - o2[:, 5]).max()) > 1e-6
+    # video frames attend to each other: perturbing video frame 0 changes
+    # video frame 1 but not the image frames
+    o3 = model.apply(variables, x.at[:, 0].add(1.0), k)
+    assert float(jnp.abs(out[:, 1] - o3[:, 1]).max()) > 1e-7
+    np.testing.assert_allclose(np.asarray(out[:, 4:]), np.asarray(o3[:, 4:]), atol=1e-4)
