@@ -22,7 +22,7 @@ from .registry import SharedMetricModelRegistry
 __all__ = ["VideoMetric"]
 
 FRAME_WISE = ("mse", "psnr", "ssim", "lpips")
-VIDEO_WISE = ("fvd", "is", "fid")
+VIDEO_WISE = ("fvd", "is", "fid", "fvmd")
 
 
 class VideoMetric:
@@ -44,6 +44,7 @@ class VideoMetric:
         self._frame_acc: Dict[str, List[float]] = {m: [] for m in FRAME_WISE}
         self._fvd = FrechetDistance(400)
         self._fid = FrechetDistance(2048)
+        self._fvmd = FrechetDistance(400)
         self._is = InceptionScore()
         self._count = 0
 
@@ -101,6 +102,18 @@ class VideoMetric:
             for vids, real in ((targets, True), (preds, False)):
                 frames = vids.reshape((-1,) + vids.shape[2:])
                 self._fid.update(np.asarray(inc(jnp.asarray(frames))), real)
+        if "fvmd" in self.metric_types:
+            # Frechet video MOTION distance: the reference scores PIPS point
+            # tracks (metrics/video/fvmd.py); here motion features are I3D
+            # logits of the temporal-difference video — a tracker-free proxy
+            # (flagged non-comparable unless PIPS weights are provided)
+            i3d = self.registry.i3d()
+            self.registry.comparable.setdefault("fvmd", False)
+            for vids, real in ((targets, True), (preds, False)):
+                motion = np.abs(np.diff(vids, axis=1)) * 0.5 + 0.25
+                motion = self._pad_to_min_frames(motion, 9)
+                logits, _ = i3d(jnp.asarray(motion))
+                self._fvmd.update(np.asarray(logits), real)
         self._count += B
 
     def _acc_frame(self, name: str, per_frame, eval_mask: np.ndarray) -> None:
@@ -129,6 +142,8 @@ class VideoMetric:
             out[key("fvd")] = self._fvd.compute()
         if "fid" in self.metric_types and self._count:
             out[key("fid")] = self._fid.compute()
+        if "fvmd" in self.metric_types and self._count:
+            out[key("fvmd")] = self._fvmd.compute()
         if "is" in self.metric_types and self._count:
             out[key("is")] = self._is.compute()
         self.reset()

@@ -127,3 +127,19 @@ def test_vbench_quality_orders_videos():
     assert s_smooth["vbench/dynamic_degree"] == 0.0
     assert s_noisy["vbench/dynamic_degree"] == 1.0
     assert 0 <= s_noisy["vbench/quality_score"] <= 1
+
+
+def test_fvmd_orders_motion_fidelity():
+    from dfot_tpu.metrics import SharedMetricModelRegistry, VideoMetric
+
+    vm = VideoMetric(("fvmd",), SharedMetricModelRegistry())
+    rng = np.random.RandomState(0)
+    gt = np.clip(rng.rand(2, 6, 32, 32, 3), 0, 1).astype(np.float32)
+    same_motion = np.clip(gt + 0.02 * rng.randn(*gt.shape), 0, 1).astype(np.float32)
+    static = np.repeat(gt[:, :1], 6, axis=1)  # motion completely wrong
+
+    vm.update(same_motion, gt)
+    good = vm.log()["fvmd"]
+    vm.update(static, gt)
+    bad = vm.log()["fvmd"]
+    assert good < bad
