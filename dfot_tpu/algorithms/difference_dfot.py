@@ -14,7 +14,6 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..diffusion import core as dc
 from ..diffusion.continuous import continuous_training_fields, continuous_v_loss
@@ -102,28 +101,29 @@ class DifferenceDFoTVideoAlgo(DFoTVideoAlgo):
     # -- sampling ------------------------------------------------------------
     def sample_videos(self, params, rng, xs, conditions=None, tasks=None,
                       n_context_tokens=None):
-        """Full-window sampling on merged (diff, frame) streams; the frame
-        half of the output is returned (windowed rollouts of the merged
-        representation are not yet supported)."""
+        """Prediction on the merged (diff, frame) stream.
+
+        The reference merges BEFORE rolling out (difference_dfot_video.py
+        :166-195): the merged 2T-token sequence is what slides through
+        windows of ``2 * max_tokens`` tokens (sliding_context_len is used
+        as-is — "not divided by 2", :262), context tokens are doubled
+        (:182-184, interleaved merge only when context > 0), and the output
+        is unmerged at the end (the diff half is logged as ``*_diff``).
+        """
         nct = n_context_tokens if n_context_tokens is not None else self.n_context_tokens
-        B, T = xs.shape[:2]
-        if T != self.max_tokens:
-            raise NotImplementedError(
-                "difference models currently sample full windows (T == max_tokens)"
+        nct2 = 2 * nct  # context doubled on the merged stream (reference :183)
+        if nct2 > 0 and self.merge_type != "interleaved":
+            raise ValueError(
+                "context tokens > 0 require interleaved merge (reference :184)"
             )
         diff = jnp.diff(xs, axis=1, prepend=xs[:, :1])
         merged = self.merge(diff, xs)
-        ctx_mask_half = np.zeros((B, T), dtype=np.int64)
-        ctx_mask_half[:, :nct] = 1
-        ctx_mask = np.asarray(
-            self.merge(jnp.asarray(ctx_mask_half), jnp.asarray(ctx_mask_half))
-        )
         conds = self.process_conditions(conditions)
         if conds is not None:
             conds = self.merge(jnp.asarray(conds), jnp.asarray(conds))
 
-        # rollout over the doubled horizon
-        from ..sampling import DFoTRollout, RolloutConfig
+        # rollout over the doubled horizon (sliding windows + keyframes)
+        from ..sampling import DFoTRollout
         import dataclasses as _dc
 
         ro = DFoTRollout(
@@ -133,12 +133,15 @@ class DifferenceDFoTVideoAlgo(DFoTVideoAlgo):
         hg = HistoryGuidance.from_config(
             self.prediction_hg_cfg, timesteps=self.dcfg.timesteps
         )
-        out = ro.sample_sequence(
-            {"params": params}, rng, B, length=2 * T, context=merged,
-            context_mask=ctx_mask, conditions=conds, history_guidance=hg,
+        interp_hg = HistoryGuidance.from_config(
+            self.interpolation_hg_cfg, timesteps=self.dcfg.timesteps
         )
-        _, frames = self.unmerge(out)
-        return {"gt": xs, "prediction": frames}
+        out = ro.predict_videos(
+            {"params": params}, rng, merged, nct2, conds,
+            prediction_hg=hg, interpolation_hg=interp_hg,
+        )
+        gen_diff, frames = self.unmerge(out)
+        return {"gt": xs, "prediction": frames, "prediction_diff": gen_diff}
 
     def init_params(self, rng: jax.Array):
         B, T = 1, 2 * self.max_tokens

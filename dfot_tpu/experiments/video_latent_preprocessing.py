@@ -37,24 +37,47 @@ class VideoLatentPreprocessingExperiment:
         acfg = self.cfg.algorithm
         name = acfg.get("_name", "image_vae_preprocessor")
         rng = jax.random.PRNGKey(0)
+        self.is_deterministic = False
         if "video" in name:
             self.vae_cfg = VideoVAEConfig.from_config(acfg)
             self.vae = VideoVAE(self.vae_cfg)
             x = jnp.zeros((1, 5, self.vae_cfg.resolution, self.vae_cfg.resolution, 3))
             self.is_video_vae = True
+        elif "dc_ae" in name:
+            # frozen DC-AE preprocessor (reference dc_ae_preprocessor.yaml):
+            # deterministic latents, torch safetensors importable
+            from ..vae import DCAE, DCAEConfig
+
+            self.vae_cfg = DCAEConfig.from_config(acfg)
+            self.vae = DCAE(self.vae_cfg)
+            res = 2 * self.vae_cfg.spatial_compression
+            x = jnp.zeros((1, res, res, 3))
+            self.is_video_vae = False
+            self.is_deterministic = True
         else:
             self.vae_cfg = ImageVAEConfig.from_config(acfg)
             self.vae = ImageVAE(self.vae_cfg)
             x = jnp.zeros((1, self.vae_cfg.resolution, self.vae_cfg.resolution, 3))
             self.is_video_vae = False
-        self.variables = self.vae.init(rng, x, rng, method=None)
+        if self.is_deterministic:
+            self.variables = self.vae.init(rng, x)
+        else:
+            self.variables = self.vae.init(rng, x, rng, method=None)
+        pretrained = acfg.get("pretrained_path")
         if self.load_path:
             from ..training.checkpoint import restore_checkpoint
 
             restored = restore_checkpoint(self.load_path)
             self.variables = {"params": restored.get("params", restored)}
+        elif pretrained and "dc_ae" in name:
+            from ..utils.torch_ckpt import load_state_dict
+            from ..vae import import_dc_ae_params
+
+            self.variables = {"params": import_dc_ae_params(load_state_dict(pretrained))}
 
         def encode(variables, x, rng):
+            if self.is_deterministic:
+                return self.vae.apply(variables, x, method=self.vae.encode)
             posterior = self.vae.apply(variables, x, method=self.vae.encode)
             return posterior.sample(rng)
 

@@ -3,11 +3,12 @@
 Families:
 - ImageVAE: SD-style KL image autoencoder (per-frame latents),
 - VideoVAE: causal chunk-wise 3D tokenizer (temporal factor 4),
-- DC-AE / AutoencoderKL / TiTok wrappers: planned (weight-import shims).
+- DC-AE: deep-compression autoencoder, torch-importable (frozen preprocessor),
+- AutoencoderKL (diffusers-importable), TiTok-KL (1-D ViT tokenizer).
 """
 
 from .autoencoder_kl import AutoencoderKL, KL_F8_CONFIG, import_diffusers_vae_params
-from .dc_ae import DCAE, DCAEConfig
+from .dc_ae import DCAE, DCAEConfig, import_dc_ae_params
 from .distribution import DiagonalGaussian
 from .image_vae import Decoder, Encoder, ImageVAE, ImageVAEConfig
 from .titok import TiTokConfig, TiTokKL

@@ -86,7 +86,40 @@ def test_difference_algo_train_and_sample(merge):
     assert np.isfinite(float(metrics["loss"]))
     assert "diff_loss" in metrics and "xs_loss" in metrics
 
+    # context > 0 requires interleaved merge (reference :184)
+    nct = 1 if merge == "interleaved" else 0
     out = algo.sample_videos(
-        state.params, jax.random.PRNGKey(2), batch["xs"], n_context_tokens=1
+        state.params, jax.random.PRNGKey(2), batch["xs"], n_context_tokens=nct
     )
     assert out["prediction"].shape == batch["xs"].shape
+    assert out["prediction_diff"].shape == batch["xs"].shape
+    if merge == "concat":
+        with pytest.raises(ValueError):
+            algo.sample_videos(
+                state.params, jax.random.PRNGKey(2), batch["xs"], n_context_tokens=1
+            )
+
+
+def test_difference_algo_sliding_window_sampling():
+    """Windows slide over the MERGED stream: 3 frames -> 6 merged tokens
+    through 4-token windows (reference difference_dfot_video.py:463-531)."""
+    from dfot_tpu.algorithms import build_algorithm
+
+    cfg = load_config(
+        TINY_DIFF_OVERRIDES
+        + [
+            "++algorithm.backbone.merge_type=interleaved",
+            "++algorithm.tasks.prediction.sliding_context_len=2",
+        ]
+    )
+    algo = build_algorithm(cfg, compute_dtype=jnp.float32)
+    state = algo.make_train_state(jax.random.PRNGKey(0))
+    xs = jnp.ones((1, 3, 8, 8, 3)) * 0.4  # 3 > max_tokens = 2
+    out = algo.sample_videos(
+        state.params, jax.random.PRNGKey(2), xs, n_context_tokens=1
+    )
+    assert out["prediction"].shape == xs.shape
+    # context frame is returned unchanged
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"][:, 0]), np.asarray(xs[:, 0]), atol=1e-5
+    )

@@ -196,3 +196,48 @@ def test_vae_learning_experiment(tmp_path):
     assert lines and np.isfinite(lines[-1]["g_total"])
     assert "d_weight" in lines[-1]
     assert os.path.isdir(exp.ckpt_dir)
+
+
+def test_dc_ae_preprocessing_experiment(tmp_path):
+    """DC-AE preprocessor: deterministic latents at 4x compression."""
+    from dfot_tpu.config import load_config
+    from dfot_tpu.experiments.video_latent_preprocessing import (
+        VideoLatentPreprocessingExperiment,
+    )
+
+    data_dir = tmp_path / "data"
+    os.makedirs(data_dir / "training")
+    rng = np.random.RandomState(0)
+    video = (rng.rand(5, 16, 16, 3) * 255).astype(np.uint8)
+    np.savez(data_dir / "training" / "v0.npz", video=video)
+
+    cfg = load_config([
+        "+name=prep_dcae",
+        "dataset=ucf_101",
+        "algorithm=dc_ae_preprocessor",
+        "experiment=video_latent_preprocessing",
+        f"dataset.save_dir={data_dir}",
+        "dataset.resolution=16",
+        "dataset.max_frames=4",
+        "dataset.n_frames=4",
+        "++algorithm.latent_channels=8",
+        "++algorithm.attention_head_dim=16",
+        "++algorithm.encoder_block_types=[ResBlock,ResBlock,EfficientViTBlock]",
+        "++algorithm.decoder_block_types=[ResBlock,ResBlock,EfficientViTBlock]",
+        "++algorithm.encoder_block_out_channels=[16,32,32]",
+        "++algorithm.decoder_block_out_channels=[16,32,32]",
+        "++algorithm.encoder_layers_per_block=[0,1,1]",
+        "++algorithm.decoder_layers_per_block=[0,1,1]",
+        "++algorithm.encoder_qkv_multiscales=[[],[],[]]",
+        "++algorithm.decoder_qkv_multiscales=[[],[],[]]",
+        "++algorithm.decoder_norm_types=[batch_norm,batch_norm,rms_norm]",
+        "++algorithm.decoder_act_fns=[relu,relu,silu]",
+        "++algorithm.max_encode_length=4",
+    ])
+    exp = VideoLatentPreprocessingExperiment(cfg, str(tmp_path / "out"))
+    assert exp.is_deterministic
+    exp.exec_task("validation")
+
+    lat = np.load(f"{data_dir}_latent_16/training/v0.npy")
+    assert lat.shape == (5, 4, 4, 8)  # per-frame latents, 16px -> 4x4
+    assert np.isfinite(lat).all()

@@ -12,24 +12,104 @@ from dfot_tpu.vae import (
     ImageVAEConfig,
     TiTokConfig,
     TiTokKL,
+    import_dc_ae_params,
     import_diffusers_vae_params,
+)
+
+SMALL_DCAE = DCAEConfig(
+    latent_channels=8,
+    attention_head_dim=16,
+    encoder_block_types=("ResBlock", "ResBlock", "EfficientViTBlock"),
+    decoder_block_types=("ResBlock", "ResBlock", "EfficientViTBlock"),
+    encoder_block_out_channels=(16, 32, 32),
+    decoder_block_out_channels=(16, 32, 32),
+    encoder_layers_per_block=(0, 1, 1),
+    decoder_layers_per_block=(0, 1, 1),
+    encoder_qkv_multiscales=((), (), (5,)),
+    decoder_qkv_multiscales=((), (), ()),
+    decoder_norm_types=("batch_norm", "batch_norm", "rms_norm"),
+    decoder_act_fns=("relu", "relu", "silu"),
 )
 
 
 def test_dcae_roundtrip_shapes():
-    cfg = DCAEConfig(
-        latent_channels=8, width_list=(32, 64, 64), depth_list=(1, 1, 1),
-        attention_levels=(2,),
-    )
-    model = DCAE(cfg)
+    model = DCAE(SMALL_DCAE)
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
     variables = model.init(jax.random.PRNGKey(1), x)
     z = model.apply(variables, x, method=model.encode)
-    # stem 2x + 2 stage downs = 8x spatial compression
-    assert z.shape == (1, 4, 4, 8)
+    # conv_in pixel-unshuffle down + 1 stage down = 4x spatial compression
+    assert SMALL_DCAE.spatial_compression == 4
+    assert z.shape == (1, 8, 8, 8)
     out = model.apply(variables, z, method=model.decode)
     assert out.shape == x.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def _flax_to_torch_dc_ae(tree, prefix=""):
+    """Reverse of import_dc_ae_params: emit torch keys/layouts from the
+    flax tree (structural round-trip fixture)."""
+    state = {}
+    for k, v in tree.items():
+        name = k
+        for base in ("down_blocks", "up_blocks", "to_qkv_multiscale"):
+            if k.startswith(base + "_"):
+                name = ".".join([base] + k[len(base) + 1 :].split("_"))
+        path = f"{prefix}.{name}" if prefix else name
+        if isinstance(v, dict):
+            state.update(_flax_to_torch_dc_ae(v, path))
+        elif k == "kernel":
+            w = np.asarray(v)
+            torch_key = path[: -len("kernel")] + "weight"
+            if w.ndim == 4:
+                state[torch_key] = np.transpose(w, (3, 2, 0, 1))  # HWIO -> OIHW
+            else:
+                state[torch_key] = w.T
+        else:
+            state[path] = np.asarray(v)
+    return state
+
+
+def test_dc_ae_import_roundtrip():
+    """Torch-format state dict (reference safetensors layout) imports onto
+    the exact flax tree, values intact, and runs."""
+    model = DCAE(SMALL_DCAE)
+    x = jnp.zeros((1, 16, 16, 3))
+    rng = jax.random.PRNGKey(0)
+    target = model.init(rng, x)["params"]
+    # perturb so the roundtrip check is non-trivial
+    leaves, treedef = jax.tree_util.tree_flatten(target)
+    target = jax.tree_util.tree_unflatten(
+        treedef, [l + 0.01 * (i + 1) for i, l in enumerate(leaves)]
+    )
+
+    state = _flax_to_torch_dc_ae(target)
+    state["encoder.down_blocks.1.0.norm.num_batches_tracked"] = np.asarray(3)
+    assert any("to_qkv_multiscale.0.proj_in" in k for k in state)
+    assert any(".running_mean" in k for k in state)  # batch_norm import path
+    params = import_dc_ae_params(state)
+
+    flat_t = jax.tree_util.tree_leaves_with_path(target)
+    flat_i = jax.tree_util.tree_leaves_with_path(params)
+    assert [p for p, _ in flat_t] == [p for p, _ in flat_i]
+    for (pt, vt), (_, vi) in zip(flat_t, flat_i):
+        np.testing.assert_allclose(np.asarray(vt), np.asarray(vi), err_msg=str(pt))
+
+    out = model.apply({"params": params}, x)
+    assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()
+
+
+def test_dcae_linear_and_quadratic_attention_branches():
+    """HW <= head_dim selects quadratic attention; both must be finite."""
+    model = DCAE(SMALL_DCAE)
+    rng = jax.random.PRNGKey(0)
+    big = jax.random.normal(rng, (1, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(1), big)
+    # ViT level sees 8x8 = 64 > 16 -> linear branch
+    out_l = model.apply(variables, big)
+    # 16x16 input -> ViT level 4x4 = 16 <= 16 -> quadratic branch
+    out_q = model.apply(variables, jax.random.normal(rng, (1, 16, 16, 3)))
+    assert np.isfinite(np.asarray(out_l)).all()
+    assert np.isfinite(np.asarray(out_q)).all()
 
 
 def test_titok_roundtrip_shapes():
