@@ -38,6 +38,39 @@ class VideoLatentPreprocessingExperiment:
         name = acfg.get("_name", "image_vae_preprocessor")
         rng = jax.random.PRNGKey(0)
         self.is_deterministic = False
+        self.normalize_input = True
+        if "titok" in name:
+            # frozen TiTok-KL preprocessor (reference tiktok_kl/preprocessor.py):
+            # posterior MODE latents, videos kept in [0, 1] (:134-136)
+            from ..vae import TiTokConfig, TiTokKL
+
+            self.vae_cfg = TiTokConfig.from_config(acfg)
+            self.vae = TiTokKL(self.vae_cfg)
+            s = self.vae_cfg.image_size
+            x = jnp.zeros((1, s, s, 3))
+            self.is_video_vae = False
+            self.normalize_input = False
+            self.variables = self.vae.init(rng, x, rng)
+            pretrained = acfg.get("pretrained_path")
+            if self.load_path:
+                from ..training.checkpoint import restore_checkpoint
+
+                restored = restore_checkpoint(self.load_path)
+                self.variables = {"params": restored.get("params", restored)}
+            elif pretrained:
+                from ..utils.torch_ckpt import load_state_dict
+                from ..vae import import_titok_params
+
+                self.variables = {
+                    "params": import_titok_params(load_state_dict(pretrained))
+                }
+
+            def encode(variables, x, rng):
+                posterior = self.vae.apply(variables, x, method=self.vae.encode)
+                return posterior.mode()
+
+            self._encode = jax.jit(encode)
+            return
         if "video" in name:
             self.vae_cfg = VideoVAEConfig.from_config(acfg)
             self.vae = VideoVAE(self.vae_cfg)
@@ -126,7 +159,9 @@ class VideoLatentPreprocessingExperiment:
 
     def _encode_video(self, video: np.ndarray, rng: jax.Array) -> np.ndarray:
         """video (T, H, W, C) in [0, 1] -> latents; chunked to bound memory."""
-        x = jnp.asarray(video) * 2.0 - 1.0
+        x = jnp.asarray(video)
+        if self.normalize_input:
+            x = x * 2.0 - 1.0
         chunks = []
         if self.is_video_vae:
             f = self.vae_cfg.temporal_downsampling_factor

@@ -11,7 +11,7 @@ from .autoencoder_kl import AutoencoderKL, KL_F8_CONFIG, import_diffusers_vae_pa
 from .dc_ae import DCAE, DCAEConfig, import_dc_ae_params
 from .distribution import DiagonalGaussian
 from .image_vae import Decoder, Encoder, ImageVAE, ImageVAEConfig
-from .titok import TiTokConfig, TiTokKL
+from .titok import TiTokConfig, TiTokKL, import_titok_params
 from .losses import (
     LPIPS,
     NLayerDiscriminator,

@@ -112,16 +112,110 @@ def test_dcae_linear_and_quadratic_attention_branches():
     assert np.isfinite(np.asarray(out_q)).all()
 
 
+SMALL_TITOK = TiTokConfig(
+    image_size=32,
+    token_size=4,
+    vit_enc_patch_size=8,
+    vit_dec_patch_size=8,
+    num_latent_tokens=8,
+    vit_override=(32, 2, 2),
+    pixel_hidden_channels=8,
+    pixel_channel_mult=(1, 2, 2),
+    pixel_num_res_blocks=1,
+    pixel_z_channels=8,
+    pixel_quantize_dim=16,
+    group_norm_groups=4,
+)
+
+
 def test_titok_roundtrip_shapes():
-    cfg = TiTokConfig(resolution=32, patch_size=8, num_latent_tokens=8,
-                      z_channels=4, hidden_size=64, depth=2, heads=2)
-    model = TiTokKL(cfg)
+    model = TiTokKL(SMALL_TITOK)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
     variables = model.init(jax.random.PRNGKey(1), x, jax.random.PRNGKey(2))
     posterior = model.apply(variables, x, method=model.encode)
     assert posterior.mean.shape == (2, 8, 4)  # N 1-D tokens of z channels
     out = model.apply(variables, posterior.mode(), method=model.decode)
-    assert out.shape == x.shape
+    # decoder grid 4x4 -> maskgit upsamples 2 levels -> 4 * 4 = 16... the
+    # pixel decoder's output resolution is grid * 2**(levels-1) * patch-free:
+    # 32/8 = 4 grid, channel_mult has 3 levels -> 4 * 4 = 16? No: the ViT
+    # decoder emits (B, 4, 4, 1024-dim logits); maskgit upsamples by
+    # 2**(len(mult)-1) = 4 -> 16x16 output. The reference's full-size config
+    # (patch 16, mult of length 5) likewise maps grid 16 -> 256.
+    assert out.shape == (2, 16, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def _flax_to_torch_titok(tree, prefix=""):
+    """Reverse of import_titok_params (structural round-trip fixture)."""
+    state = {}
+    for k, v in tree.items():
+        name = k
+        for base in ("transformer", "mid", "block", "up", "ffn"):
+            if k.startswith(base + "_") and k[len(base) + 1 :].isdigit():
+                name = f"{base}.{k[len(base) + 1:]}"
+        if k.startswith("mlp_"):
+            name = f"mlp.{k[4:]}"
+        if k == "in_proj":
+            # torch packs qkv as attn.in_proj_{weight,bias} attributes
+            for leaf, vv in v.items():
+                w = np.asarray(vv)
+                state[f"{prefix}_{'weight' if leaf == 'kernel' else 'bias'}".replace(
+                    prefix, f"{prefix}.in_proj"
+                )] = w.T if leaf == "kernel" else w
+            continue
+        path = f"{prefix}.{name}" if prefix else name
+        if isinstance(v, dict):
+            state.update(_flax_to_torch_titok(v, path))
+        elif k == "kernel":
+            w = np.asarray(v)
+            torch_key = path[: -len("kernel")] + "weight"
+            if w.ndim == 4:
+                state[torch_key] = np.transpose(w, (3, 2, 0, 1))
+            else:
+                # Dense standing in for torch Linear or a 1x1 conv: which one
+                # is determined by the module name
+                mod = path.split(".")[-2]
+                if mod in ("conv_out", "ffn") or mod.isdigit() or "quantize" in mod or mod == "nin_shortcut":
+                    state[torch_key] = w.T[:, :, None, None]  # 1x1 conv OIHW
+                else:
+                    state[torch_key] = w.T
+        elif k == "scale":
+            state[path[: -len("scale")] + "weight"] = np.asarray(v)
+        else:
+            state[path] = np.asarray(v)
+    return state
+
+
+def test_titok_import_roundtrip():
+    """Torch-format TiTok_KL state dict imports onto the exact flax tree."""
+    from dfot_tpu.vae import import_titok_params
+
+    model = TiTokKL(SMALL_TITOK)
+    x = jnp.zeros((1, 32, 32, 3))
+    target = model.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1))["params"]
+    leaves, treedef = jax.tree_util.tree_flatten(target)
+    target = jax.tree_util.tree_unflatten(
+        treedef, [l + 0.01 for l in leaves]
+    )
+
+    state = _flax_to_torch_titok(target)
+    assert any("attn.in_proj_weight" in k for k in state), sorted(state)[:5]
+    assert any("pixel_decoder.up.1.upsample_conv" in k for k in state)
+    assert any("nin_shortcut" in k for k in state)
+    params = import_titok_params(state)
+
+    flat_t = jax.tree_util.tree_leaves_with_path(target)
+    flat_i = jax.tree_util.tree_leaves_with_path(params)
+    assert [p for p, _ in flat_t] == [p for p, _ in flat_i], (
+        set(str(p) for p, _ in flat_t) ^ set(str(p) for p, _ in flat_i)
+    )
+    for (pt, vt), (_, vi) in zip(flat_t, flat_i):
+        np.testing.assert_allclose(np.asarray(vt), np.asarray(vi), err_msg=str(pt))
+
+    out, posterior = model.apply(
+        {"params": params}, x, jax.random.PRNGKey(2), sample_posterior=False
+    )
+    assert out.shape == (1, 16, 16, 3) and np.isfinite(np.asarray(out)).all()
 
 
 def _rand(shape):
