@@ -78,6 +78,63 @@ class SharedMetricModelRegistry:
             self._models["lpips"] = apply
         return self._models["lpips"]
 
+    def _vit_encoder(self, name: str, make_model, size: int = 224) -> Callable:
+        if name not in self._models:
+            model = make_model()
+            x = jnp.zeros((1, size, size, 3))
+            variables = model.init(jax.random.PRNGKey(0), x)
+            params = self._load_weights(name, variables["params"])
+
+            @jax.jit
+            def apply(x):
+                return model.apply({"params": params}, x)
+
+            self._models[name] = apply
+        return self._models[name]
+
+    def clip_b32(self) -> Callable:
+        """(B, 224, 224, 3) CLIP-normalized -> (B, 512) embeddings
+        (reference models/clip.py, ViT-B/32)."""
+        from .encoders import CLIP_B32, CLIPVisionEncoder
+
+        return self._vit_encoder("clip_b32", lambda: CLIPVisionEncoder(CLIP_B32))
+
+    def clip_l14(self) -> Callable:
+        """(B, 224, 224, 3) CLIP-normalized -> (B, 768) embeddings."""
+        from .encoders import CLIP_L14, CLIPVisionEncoder
+
+        return self._vit_encoder("clip_l14", lambda: CLIPVisionEncoder(CLIP_L14))
+
+    def dino(self) -> Callable:
+        """(B, 224, 224, 3) ImageNet-normalized -> (B, 768) CLS features
+        (reference models/dino.py, dino_vitb16)."""
+        from .encoders import DINO_B16, DINOEncoder
+
+        return self._vit_encoder("dino", lambda: DINOEncoder(DINO_B16))
+
+    def laion(self) -> Callable:
+        """l2-normalized CLIP-L/14 embeddings (B, 768) -> (B, 1) aesthetic
+        score 0-10 (reference models/laion.py: a single nn.Linear)."""
+        if "laion" not in self._models:
+            path = os.path.join(self.weights_dir or "", "laion.npz")
+            if self.weights_dir and os.path.exists(path):
+                flat = dict(np.load(path))
+                w = jnp.asarray(flat["weight"])  # torch (1, 768)
+                b = jnp.asarray(flat["bias"])
+                self.comparable["laion"] = True
+            else:
+                key = jax.random.PRNGKey(7)
+                w = jax.random.normal(key, (1, 768)) * 768**-0.5
+                b = jnp.zeros((1,))
+                self.comparable["laion"] = False
+
+            @jax.jit
+            def apply(feats):
+                return feats @ w.T + b
+
+            self._models["laion"] = apply
+        return self._models["laion"]
+
     def inception(self) -> Callable:
         """Frame features for FID: (B, H, W, 3) in [0,1] -> (B, 2048).
 

@@ -4,7 +4,7 @@ Counterpart of the reference's VBench wrapper
 (algorithms/common/metrics/video/vbench/vbench.py:21-144): per-dimension
 scores normalized to [0, 1] and combined by a weighted mean.
 
-Dimensions implemented natively (pure pixel/flow-proxy math — no pretrained
+Native dimensions (pure pixel/flow-proxy math — no pretrained
 models needed): temporal_flickering, motion_smoothness, dynamic_degree.
 Dimensions requiring frozen pretrained models (subject/background
 consistency via DINO/CLIP, aesthetic via LAION, imaging quality via MUSIQ)
@@ -85,7 +85,44 @@ class VBenchQuality:
                 self._scores[dim].append(motion_smoothness(videos))
             elif dim == "dynamic_degree":
                 self._scores[dim].append(dynamic_degree(videos))
-            # model-based dimensions are skipped without their weights
+            elif self.registry is not None and dim in (
+                "subject_consistency", "background_consistency",
+                "aesthetic_quality",
+            ):
+                self._scores[dim].append(self._model_dim(dim, videos))
+            # imaging_quality (MUSIQ) stays weight-gated
+
+    def _model_dim(self, dim: str, videos: np.ndarray) -> float:
+        """Model-based dimensions (reference vbench/*.py). Scores are only
+        comparable to published tables when the registry has real weights
+        (``registry.comparable``)."""
+        import jax.numpy as jnp
+
+        from .encoders import clip_preprocess, dino_preprocess
+
+        B, T = videos.shape[:2]
+        frames = jnp.asarray(videos.reshape((B * T,) + videos.shape[2:]))
+        if dim == "aesthetic_quality":
+            # LAION head on l2-normalized CLIP-L/14 (aesthetic_quality.py:22-25)
+            feats = self.registry.clip_l14()(clip_preprocess(frames))
+            feats = feats / jnp.clip(
+                jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12, None
+            )
+            scores = np.asarray(self.registry.laion()(feats)).reshape(B, T)
+            # 0-10 rating -> [0, 1] (aesthetic_quality.py:25); clamped so the
+            # random-weights fallback also stays in range
+            return float(np.clip(scores.mean(axis=1).mean() / 10.0, 0.0, 1.0))
+        if dim == "subject_consistency":
+            feats = self.registry.dino()(dino_preprocess(frames))
+        else:  # background_consistency
+            feats = self.registry.clip_b32()(clip_preprocess(frames))
+        f = np.asarray(feats).reshape(B, T, -1)
+        f = f / np.clip(np.linalg.norm(f, axis=-1, keepdims=True), 1e-12, None)
+        # mean of clamped consecutive-frame and first-frame cosine sims
+        # (cosine_similarity_dimension.py:19-40)
+        consec = np.clip((f[:, :-1] * f[:, 1:]).sum(-1), 0, None)
+        first = np.clip((f[:, :1] * f[:, 1:]).sum(-1), 0, None)
+        return float(((consec + first) / 2.0).mean())
 
     def log(self, prefix: str = "vbench") -> Dict[str, float]:
         out: Dict[str, float] = {}

@@ -22,7 +22,13 @@ from .registry import SharedMetricModelRegistry
 __all__ = ["VideoMetric"]
 
 FRAME_WISE = ("mse", "psnr", "ssim", "lpips")
-VIDEO_WISE = ("fvd", "is", "fid", "fvmd")
+VIDEO_WISE = ("fvd", "is", "fid", "fvmd", "vbench", "real_vbench")
+
+# vbench dims scored through VideoMetric (imaging_quality stays MUSIQ-gated)
+_VBENCH_DIMS = (
+    "subject_consistency", "background_consistency", "temporal_flickering",
+    "motion_smoothness", "dynamic_degree", "aesthetic_quality",
+)
 
 
 class VideoMetric:
@@ -41,11 +47,20 @@ class VideoMetric:
         self.reset()
 
     def reset(self) -> None:
+        from .vbench import VBenchQuality
+
         self._frame_acc: Dict[str, List[float]] = {m: [] for m in FRAME_WISE}
         self._fvd = FrechetDistance(400)
         self._fid = FrechetDistance(2048)
         self._fvmd = FrechetDistance(400)
         self._is = InceptionScore()
+        # vbench on predictions, real_vbench on ground truth (reference
+        # video_metric.py:81, 213-215)
+        self._vbench = {
+            m: VBenchQuality(_VBENCH_DIMS, registry=self.registry)
+            for m in ("vbench", "real_vbench")
+            if m in self.metric_types
+        }
         self._count = 0
 
     # ------------------------------------------------------------------
@@ -102,6 +117,10 @@ class VideoMetric:
             for vids, real in ((targets, True), (preds, False)):
                 frames = vids.reshape((-1,) + vids.shape[2:])
                 self._fid.update(np.asarray(inc(jnp.asarray(frames))), real)
+        if "vbench" in self._vbench:
+            self._vbench["vbench"].update(preds)
+        if "real_vbench" in self._vbench:
+            self._vbench["real_vbench"].update(targets)
         if "fvmd" in self.metric_types:
             # Frechet video MOTION distance: the reference scores PIPS point
             # tracks (metrics/video/fvmd.py); here motion features are I3D
@@ -146,5 +165,8 @@ class VideoMetric:
             out[key("fvmd")] = self._fvmd.compute()
         if "is" in self.metric_types and self._count:
             out[key("is")] = self._is.compute()
+        for name, vb in self._vbench.items():
+            if self._count:
+                out.update(vb.log(prefix=key(name)))
         self.reset()
         return out

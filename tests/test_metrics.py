@@ -143,3 +143,131 @@ def test_fvmd_orders_motion_fidelity():
     vm.update(static, gt)
     bad = vm.log()["fvmd"]
     assert good < bad
+
+
+def test_vbench_model_dims_with_registry(monkeypatch):
+    """subject/background consistency + aesthetic run through the native
+    CLIP/DINO/LAION encoders; a static video scores perfect consistency."""
+    from dfot_tpu.metrics import SharedMetricModelRegistry, VBenchQuality
+    from dfot_tpu.metrics import encoders
+
+    # shrink the frozen towers so the CPU test stays fast; the LAION head
+    # needs the CLIP-L/14 output dim to stay 768
+    monkeypatch.setattr(
+        encoders, "CLIP_B32",
+        encoders.CLIPVisionConfig(patch_size=32, width=32, layers=1, heads=2,
+                                  output_dim=8),
+    )
+    monkeypatch.setattr(
+        encoders, "CLIP_L14",
+        encoders.CLIPVisionConfig(patch_size=32, width=32, layers=1, heads=2,
+                                  output_dim=768),
+    )
+    monkeypatch.setattr(
+        encoders, "DINO_B16",
+        encoders.DINOConfig(patch_size=32, width=32, layers=1, heads=2),
+    )
+    registry = SharedMetricModelRegistry()
+    vb = VBenchQuality(
+        dimensions=(
+            "subject_consistency", "background_consistency", "aesthetic_quality",
+        ),
+        registry=registry,
+    )
+    rng = np.random.RandomState(0)
+    frame = rng.rand(1, 1, 32, 32, 3).astype(np.float32)
+    static = np.repeat(frame, 3, axis=1)  # identical frames
+    vb.update(static)
+    s = vb.log()
+    assert s["vbench/subject_consistency"] == pytest.approx(1.0, abs=1e-4)
+    assert s["vbench/background_consistency"] == pytest.approx(1.0, abs=1e-4)
+    assert 0.0 <= s["vbench/quality_score"] <= 1.0
+    assert registry.comparable == {
+        "dino": False, "clip_b32": False, "clip_l14": False, "laion": False,
+    }
+
+    # changing content lowers consistency below the static score
+    moving = np.concatenate(
+        [frame, np.roll(frame, 8, axis=3), np.roll(frame, 16, axis=3)], axis=1
+    )
+    vb.update(moving)
+    s2 = vb.log()
+    assert s2["vbench/subject_consistency"] <= 1.0
+
+
+def test_clip_dino_import_structural():
+    """Torch-format CLIP visual / DINO state dicts map exactly onto the
+    flax encoder trees."""
+    import jax
+    import jax.numpy as jnp
+
+    from dfot_tpu.metrics.encoders import (
+        CLIPVisionConfig,
+        CLIPVisionEncoder,
+        DINOConfig,
+        DINOEncoder,
+        import_clip_vision_params,
+        import_dino_params,
+    )
+
+    ccfg = CLIPVisionConfig(image_size=32, patch_size=16, width=16, layers=1,
+                            heads=2, output_dim=8)
+    cmodel = CLIPVisionEncoder(ccfg)
+    target = cmodel.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
+
+    def r(*shape):
+        return np.random.RandomState(sum(shape)).randn(*shape).astype(np.float32)
+
+    state = {
+        "visual.conv1.weight": r(16, 3, 16, 16),
+        "visual.class_embedding": r(16),
+        "visual.positional_embedding": r(5, 16),
+        "visual.proj": r(16, 8),
+        "visual.ln_pre.weight": r(16), "visual.ln_pre.bias": r(16),
+        "visual.ln_post.weight": r(16), "visual.ln_post.bias": r(16),
+        "visual.transformer.resblocks.0.ln_1.weight": r(16),
+        "visual.transformer.resblocks.0.ln_1.bias": r(16),
+        "visual.transformer.resblocks.0.attn.in_proj_weight": r(48, 16),
+        "visual.transformer.resblocks.0.attn.in_proj_bias": r(48),
+        "visual.transformer.resblocks.0.attn.out_proj.weight": r(16, 16),
+        "visual.transformer.resblocks.0.attn.out_proj.bias": r(16),
+        "visual.transformer.resblocks.0.ln_2.weight": r(16),
+        "visual.transformer.resblocks.0.ln_2.bias": r(16),
+        "visual.transformer.resblocks.0.mlp.c_fc.weight": r(64, 16),
+        "visual.transformer.resblocks.0.mlp.c_fc.bias": r(64),
+        "visual.transformer.resblocks.0.mlp.c_proj.weight": r(16, 64),
+        "visual.transformer.resblocks.0.mlp.c_proj.bias": r(16),
+        "text_projection": r(4, 4),  # non-visual keys ignored
+    }
+    params = import_clip_vision_params(state)
+    pt = jax.tree_util.tree_leaves_with_path(target)
+    pi = jax.tree_util.tree_leaves_with_path(params)
+    assert [p for p, _ in pt] == [p for p, _ in pi]
+    for (path, vt), (_, vi) in zip(pt, pi):
+        assert vt.shape == vi.shape, path
+    out = cmodel.apply({"params": params}, jnp.zeros((1, 32, 32, 3)))
+    assert out.shape == (1, 8)
+
+    dcfg = DINOConfig(image_size=32, patch_size=16, width=16, layers=1, heads=2)
+    dmodel = DINOEncoder(dcfg)
+    dtarget = dmodel.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    dstate = {
+        "patch_embed.proj.weight": r(16, 3, 16, 16),
+        "patch_embed.proj.bias": r(16),
+        "cls_token": r(1, 1, 16),
+        "pos_embed": r(1, 5, 16),
+        "norm.weight": r(16), "norm.bias": r(16),
+        "blocks.0.norm1.weight": r(16), "blocks.0.norm1.bias": r(16),
+        "blocks.0.attn.qkv.weight": r(48, 16), "blocks.0.attn.qkv.bias": r(48),
+        "blocks.0.attn.proj.weight": r(16, 16), "blocks.0.attn.proj.bias": r(16),
+        "blocks.0.norm2.weight": r(16), "blocks.0.norm2.bias": r(16),
+        "blocks.0.mlp.fc1.weight": r(64, 16), "blocks.0.mlp.fc1.bias": r(64),
+        "blocks.0.mlp.fc2.weight": r(16, 64), "blocks.0.mlp.fc2.bias": r(16),
+        "head.weight": r(4, 16),  # ignored
+    }
+    dparams = import_dino_params(dstate)
+    pt = jax.tree_util.tree_leaves_with_path(dtarget)
+    pi = jax.tree_util.tree_leaves_with_path(dparams)
+    assert [p for p, _ in pt] == [p for p, _ in pi]
+    out = dmodel.apply({"params": dparams}, jnp.zeros((1, 32, 32, 3)))
+    assert out.shape == (1, 16)
