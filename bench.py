@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--tiny", action="store_true", help="CPU smoke test")
     ap.add_argument("--window8", action="store_true", help="8-frame quick-start bench")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--interp-batch", type=int, default=8,
+                    help="interpolation max_batch_size (tuning knob)")
     args = ap.parse_args()
 
     import jax
@@ -93,7 +95,7 @@ def main():
             RolloutConfig(
                 max_tokens=T, x_shape=(res[0], res[1], ch),
                 keyframe_density=0.0625, sliding_context_len=T // 2,
-                interpolation_max_batch_size=8,
+                interpolation_max_batch_size=args.interp_batch,
             ),
             dcfg, sched, model_apply,
         )

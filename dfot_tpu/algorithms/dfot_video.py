@@ -99,6 +99,16 @@ class DFoTVideoAlgo:
             cfg, self.dcfg.timesteps, self.n_context_tokens
         )
 
+    def set_sampling_mesh(self, mesh) -> None:
+        """Shard the NFE-expanded sampling batch over ``mesh``'s 'data' axis
+        (multi-chip sampling — see sampler.make_window_sampler)."""
+        import dataclasses as _dc
+
+        self.rollout_cfg = _dc.replace(self.rollout_cfg, mesh=mesh)
+        self.rollout = DFoTRollout(
+            self.rollout_cfg, self.dcfg, self.sched, self._sample_apply
+        )
+
     # ------------------------------------------------------------------
     # bookkeeping
     # ------------------------------------------------------------------

@@ -275,6 +275,11 @@ class VideoGenerationExperiment:
     def _validate_once(self, namespace: str = "validation") -> None:
         cfg, algo = self.cfg, self.algo
         vcfg = cfg.experiment.validation
+        # multi-chip sampling: shard the NFE-expanded denoiser batch over all
+        # devices (no effect on a single chip)
+        ndev = len(jax.devices())
+        if ndev > 1 and hasattr(algo, "set_sampling_mesh"):
+            algo.set_sampling_mesh(make_mesh((ndev, 1)))
         dataset = build_dataset(cfg.dataset, "validation")
         loader = DataLoader(
             dataset, batch_size=vcfg.batch_size, shuffle=False, drop_last=False

@@ -42,6 +42,9 @@ class RolloutConfig:
     keyframe_density: Optional[float] = None
     interpolation_max_batch_size: Optional[int] = None
     refinement: Optional[dict] = None
+    # optional jax.sharding.Mesh: shards the NFE-expanded denoiser batch over
+    # its 'data' axis (multi-chip sampling; see sampler.make_window_sampler)
+    mesh: Optional[object] = None
 
 
 class DFoTRollout:
@@ -64,6 +67,7 @@ class DFoTRollout:
             replacement_only=cfg.is_full_sequence,
             use_ddpm=not dcfg.is_ddim_sampling,
             reconstruction_guidance=dcfg.reconstruction_guidance,
+            mesh=cfg.mesh,
         )
 
     # ------------------------------------------------------------------

@@ -180,6 +180,8 @@ def make_window_sampler(
     replacement_only: bool = False,
     use_ddpm: bool = False,
     reconstruction_guidance: float = 0.0,
+    mesh=None,
+    data_axis: str = "data",
 ):
     """Build the jitted one-window sampler.
 
@@ -191,7 +193,25 @@ def make_window_sampler(
     -> final (B, T, ...) samples. ``x_init`` is the noise-initialized window
     with context already installed; ``context`` is the clean context tensor
     used for re-noising / reconstruction guidance.
+
+    ``mesh``: optional jax.sharding.Mesh. The history-guidance NFE expansion
+    multiplies the batch to B*NFE inside the scan — the natural data-parallel
+    axis DFoT exposes at sampling time (the reference runs it on one GPU,
+    SURVEY.md §5 long-context). When the expanded batch divides the mesh's
+    ``data_axis``, a sharding constraint splits every denoiser call across
+    chips and XLA inserts the (cheap, (B*NFE)-sized) collectives at compose.
     """
+
+    def shard_expanded(x_e):
+        if mesh is None or data_axis not in mesh.shape:
+            return x_e
+        if x_e.shape[0] % mesh.shape[data_axis] != 0:
+            return x_e
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return jax.lax.with_sharding_constraint(
+            x_e, NamedSharding(mesh, PartitionSpec(data_axis))
+        )
 
     def q_sample_fn(x, k, rng):
         noise = dc.clipped_normal(rng, x.shape, dcfg.clip_noise, x.dtype)
@@ -247,6 +267,7 @@ def make_window_sampler(
                 xs, fl, tl, cmask, table, q_sample_fn, r_prep,
                 dcfg.timesteps, replacement_only,
             )
+            x_e = shard_expanded(x_e)
             k_clip = jnp.clip(from_e, 0, None)
 
             cond_e = None

@@ -170,3 +170,36 @@ def test_interleaved_scheduling_window():
     np.testing.assert_allclose(
         _frame_values(out)[0], np.arange(4) / 10.0, atol=2e-3
     )
+
+
+def test_mesh_sharded_sampling_matches_unsharded():
+    """NFE-expanded sampling sharded over an 8-device 'data' axis produces
+    the same result as single-device sampling (multi-chip sampling — the
+    parallelism the reference leaves unused, SURVEY.md §5)."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
+    B, L = 4, 4  # vanilla HG: NFE=2 -> expanded batch 8 == mesh size
+    ctx = jnp.zeros((B, L) + X_SHAPE).at[:, 0].set(0.5)
+    mask = np.zeros((B, L), dtype=np.int64)
+    mask[:, 0] = 1
+    hg = HistoryGuidance.vanilla(guidance_scale=2.0, timesteps=DCFG.timesteps)
+
+    out_ref = _rollout().sample_sequence(
+        {}, jax.random.PRNGKey(0), B, length=L, context=ctx, context_mask=mask,
+        history_guidance=hg,
+    )
+    out_mesh = _rollout(mesh=mesh).sample_sequence(
+        {}, jax.random.PRNGKey(0), B, length=L, context=ctx, context_mask=mask,
+        history_guidance=hg,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_mesh), np.asarray(out_ref), atol=1e-5
+    )
+
+    # non-divisible expanded batch (B=3 -> 6 % 8 != 0) falls back gracefully
+    out_odd = _rollout(mesh=mesh).sample_sequence(
+        {}, jax.random.PRNGKey(0), 3, length=L, context=ctx[:3],
+        context_mask=mask[:3], history_guidance=hg,
+    )
+    assert np.isfinite(np.asarray(out_odd)).all()
