@@ -216,7 +216,18 @@ class VideoGenerationExperiment:
                         )
                     tokens = shard_batch(tokens, mesh)
                     rng, r_step = jax.random.split(rng)
-                    state, metrics = train_step(state, tokens, r_step)
+                    # jax.profiler trace of a few post-warmup steps
+                    # (TPU-native counterpart of the reference's per-step
+                    # timing logs; experiment.training.profile_dir)
+                    profile_dir = tcfg.get("profile_dir")
+                    if profile_dir and step == tcfg.get("profile_at_step", 10):
+                        from ..utils.profiling import trace
+
+                        with trace(profile_dir):
+                            state, metrics = train_step(state, tokens, r_step)
+                            jax.block_until_ready(metrics["loss"])
+                    else:
+                        state, metrics = train_step(state, tokens, r_step)
                     step = int(state.step)
 
                     if step % max(loss_freq, 1) == 0:
@@ -308,11 +319,14 @@ class VideoGenerationExperiment:
         )
         task_metrics: Dict[str, VideoMetric] = {}
 
+        attn_cfg = cfg.algorithm.get("save_attn_map")
         for i, batch in enumerate(loader):
             if i >= n_batches:
                 break
             tokens = self._tokenize_batch(batch)
             rng, r_s = jax.random.split(rng)
+            if i == 0 and attn_cfg is not None and attn_cfg.get("enabled"):
+                self._save_attention_maps(params, tokens, batch, attn_cfg)
             videos = algo.sample_videos(
                 params,
                 r_s,
@@ -357,6 +371,41 @@ class VideoGenerationExperiment:
         results: Dict[str, float] = {}
         for task, vm in task_metrics.items():
             results.update(vm.log(f"{namespace}/{task}"))
+        return self._finish_validation(results, namespace)
+
+    def _save_attention_maps(self, params, tokens, batch, attn_cfg) -> None:
+        """Capture per-layer attention heatmaps on one denoiser forward at a
+        few noise levels (reference attn_hook/hook.py:15-149; enabled by
+        ``algorithm.save_attn_map.enabled``)."""
+        from ..diffusion import core as dc
+        from ..ops.attention import set_attention_capture
+        from ..utils.attn_capture import capture_attention_maps, save_attention_heatmaps
+
+        algo = self.algo
+        out_dir = attn_cfg.get("attn_map_dir") or os.path.join(
+            self.output_dir, "attn_maps"
+        )
+        xs = jnp.asarray(tokens["xs"][:1])
+        conds = algo.process_conditions(batch.get("conds"))
+        if conds is not None:
+            conds = jnp.asarray(conds)[:1]
+        rng = jax.random.PRNGKey(0)
+        set_attention_capture(True)
+        try:
+            for t in (int(algo.dcfg.timesteps * 0.1), int(algo.dcfg.timesteps * 0.7)):
+                k = jnp.full(xs.shape[:2], t, dtype=jnp.int32)
+                noise = dc.clipped_normal(rng, xs.shape, algo.dcfg.clip_noise)
+                x_t = dc.q_sample(algo.sched, xs, k, noise)
+                _, maps = capture_attention_maps(
+                    algo.model, {"params": params}, x_t, k.astype(jnp.float32),
+                    conds, None,
+                )
+                paths = save_attention_heatmaps(maps, out_dir, timestep=t)
+            self.logger.log({"attn_maps_saved": float(len(paths))}, 0)
+        finally:
+            set_attention_capture(False)
+
+    def _finish_validation(self, results, namespace):
         if results:
             self.logger.log(results, 0)
         self.last_metrics = results

@@ -49,7 +49,13 @@ def collect_attention_maps(intermediates: Dict) -> Dict[str, np.ndarray]:
                 walk(v, path + (str(i),))
         else:
             arr = np.asarray(node)
-            if arr.ndim >= 3 and arr.shape[-1] == arr.shape[-2]:
+            # only sown attention maps — a square activation (e.g. an MLP
+            # output whose (N, hidden) happens square) is not one
+            if (
+                "attn_weights" in path
+                and arr.ndim >= 3
+                and arr.shape[-1] == arr.shape[-2]
+            ):
                 flat["/".join(path)] = arr
 
     walk(intermediates, ())
