@@ -179,7 +179,11 @@ class VideoGenerationExperiment:
             )
 
         max_steps = tcfg.max_steps if tcfg.max_steps > 0 else None
-        max_epochs = tcfg.max_epochs if tcfg.max_epochs > 0 else None
+        max_epochs = (
+            tcfg.max_epochs
+            if tcfg.max_epochs is not None and tcfg.max_epochs > 0
+            else None
+        )
         ckpt_every = tcfg.checkpointing.get("every_n_train_steps") or 0
         save_top_k = tcfg.checkpointing.get("save_top_k", 3)
         loss_freq = cfg.algorithm.logging.get("loss_freq", 100)
@@ -354,7 +358,12 @@ class VideoGenerationExperiment:
                 if task == "gt":
                     continue
                 if task not in task_metrics:
-                    task_metrics[task] = VideoMetric(metric_types, registry)
+                    task_metrics[task] = VideoMetric(
+                        metric_types, registry,
+                        n_metrics_frames=cfg.algorithm.logging.get(
+                            "n_metrics_frames"
+                        ),
+                    )
                 task_metrics[task].update(np.asarray(vid), gt, ctx)
                 if num_logged < max_videos:
                     log_video(

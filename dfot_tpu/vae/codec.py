@@ -37,6 +37,35 @@ class LatentCodec:
 
     def _build(self, algo_cfg) -> None:
         rng = jax.random.PRNGKey(0)
+        vae_name = str(algo_cfg.vae.get("name", "") or "")
+        if "dc_ae" in vae_name:
+            # deep-compression autoencoder (deterministic latents; reference
+            # dataset_experiment/dmlab_video_generation.yaml uses it online)
+            from .dc_ae import DCAE, DCAEConfig
+
+            self.vae = DCAE(DCAEConfig.from_config(algo_cfg.vae))
+            x0 = jnp.zeros((1, self.resolution, self.resolution, 3))
+            self.variables = self.vae.init(rng, x0)
+            path = algo_cfg.vae.get("pretrained_path")
+            if path and os.path.exists(str(path)):
+                from ..utils.torch_ckpt import load_state_dict
+                from .dc_ae import import_dc_ae_params
+
+                self.variables = {
+                    "params": import_dc_ae_params(load_state_dict(str(path)))
+                }
+            vae = self.vae
+
+            @jax.jit
+            def encode_det(variables, x, rng):
+                return vae.apply(variables, x, method=vae.encode)
+
+            @jax.jit
+            def decode_det(variables, z):
+                return vae.apply(variables, z, method=vae.decode)
+
+            self._encode, self._decode = encode_det, decode_det
+            return
         if self.is_video:
             from .video_vae import VideoVAE, VideoVAEConfig
 
