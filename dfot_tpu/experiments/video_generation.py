@@ -286,8 +286,26 @@ class VideoGenerationExperiment:
                 self._validate_once(f"{namespace}/step_{step}")
             return
         self._validate_once(namespace)
+        # extra validation passes (reference data_modules/base_data_module.py
+        # :103-144 — history-free repeats with 0 context tokens; optionally
+        # also score the training split)
+        has_context = self.algo.n_context_tokens > 0
+        if vcfg.get("validate_history_free") and has_context:
+            self._validate_once(f"{namespace}_history_free", n_context_override=0)
+        if vcfg.get("validate_training_set"):
+            self._validate_once("val_on_training", split="training")
+            if vcfg.get("validate_history_free") and has_context:
+                self._validate_once(
+                    "val_on_training_history_free", split="training",
+                    n_context_override=0,
+                )
 
-    def _validate_once(self, namespace: str = "validation") -> None:
+    def _validate_once(
+        self,
+        namespace: str = "validation",
+        split: str = "validation",
+        n_context_override: Optional[int] = None,
+    ) -> None:
         cfg, algo = self.cfg, self.algo
         vcfg = cfg.experiment.validation
         # multi-chip sampling: shard the NFE-expanded denoiser batch over all
@@ -295,7 +313,12 @@ class VideoGenerationExperiment:
         ndev = len(jax.devices())
         if ndev > 1 and hasattr(algo, "set_sampling_mesh"):
             algo.set_sampling_mesh(make_mesh((ndev, 1)))
-        dataset = build_dataset(cfg.dataset, "validation")
+        nct = (
+            n_context_override
+            if n_context_override is not None
+            else algo.n_context_tokens
+        )
+        dataset = build_dataset(cfg.dataset, split)
         loader = DataLoader(
             dataset, batch_size=vcfg.batch_size, shuffle=False, drop_last=False
         )
@@ -336,6 +359,7 @@ class VideoGenerationExperiment:
                 r_s,
                 tokens["xs"],
                 conditions=batch.get("conds"),
+                n_context_tokens=nct,
             )
             videos = {k: algo.unnormalize(v) for k, v in videos.items()}
             if algo.is_latent:
@@ -353,7 +377,7 @@ class VideoGenerationExperiment:
             gt = np.asarray(videos["gt"])
             B, T = gt.shape[:2]
             ctx = np.zeros((B, T), dtype=bool)
-            ctx[:, : algo.n_context_tokens] = True
+            ctx[:, :nct] = True
             for task, vid in videos.items():
                 if task == "gt":
                     continue
@@ -372,7 +396,7 @@ class VideoGenerationExperiment:
                         os.path.join(
                             self.output_dir, "videos", f"{task}_{namespace}_{i}.gif"
                         ),
-                        context_frames=algo.n_context_tokens,
+                        context_frames=nct,
                         raw_dir=cfg.algorithm.logging.get("raw_dir"),
                     )
             num_logged += gt.shape[0]
