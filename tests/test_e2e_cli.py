@@ -19,6 +19,7 @@ TINY_OVERRIDES = [
     "dataset.resolution=16",
     "dataset.max_frames=4",
     "dataset.context_length=1",
+    "++dataset.latent.enabled=false",
     "++algorithm.backbone.hidden_size=64",
     "++algorithm.backbone.depth=2",
     "++algorithm.backbone.num_heads=2",

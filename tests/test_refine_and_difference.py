@@ -62,6 +62,7 @@ TINY_DIFF_OVERRIDES = [
     "dataset.resolution=8",
     "dataset.max_frames=2",
     "dataset.context_length=1",
+    "++dataset.latent.enabled=false",
     "++algorithm.backbone.hidden_size=32",
     "++algorithm.backbone.depth=1",
     "++algorithm.backbone.num_heads=2",
