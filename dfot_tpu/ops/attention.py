@@ -62,6 +62,10 @@ def attention_capture_enabled() -> bool:
 
 _NEG_INF = -1e30
 
+# VMEM budget for holding full k/v in the dq backward kernel; beyond this
+# the streaming (HBM DMA) variant is used. Tests shrink it to force streaming.
+_DQ_STREAM_BYTES = 6 * 2**20
+
 
 def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, seq_len: int,
@@ -200,6 +204,78 @@ def _flash_bwd_dq_kernel(
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
+def _flash_bwd_dq_stream_kernel(
+    q_ref, k_hbm, v_hbm, do_ref, lse_ref, delta_ref, dq_ref,
+    *, block_k: int, seq_len: int, causal: bool, sm_scale: float, kv_dtype,
+):
+    """Streaming variant of the dq kernel for sequences whose full k/v no
+    longer fit in VMEM (>~12k tokens bf16): k/v stay in HBM (128-lane padded)
+    and are DMA'd per k-block into double-buffered scratch, exactly like the
+    dkv kernel streams q."""
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]      # (blk_q, 1)
+    delta = delta_ref[0]  # (blk_q, 1)
+    blk_q, d = q.shape    # d = 128-lane padded head dim
+    num_kb = seq_len // block_k
+    q_start = pl.program_id(1) * blk_q
+    bh = pl.program_id(0)
+
+    def scoped(k_buf, v_buf, sems):
+        def get_copies(slot, i):
+            src = pl.ds(i * block_k, block_k)
+            return (
+                pltpu.make_async_copy(k_hbm.at[bh, src, :], k_buf.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(v_hbm.at[bh, src, :], v_buf.at[slot], sems.at[slot, 1]),
+            )
+
+        for c in get_copies(0, 0):
+            c.start()
+
+        def body(i, dq):
+            slot = i % 2
+
+            @pl.when(i + 1 < num_kb)
+            def _():
+                for c in get_copies((i + 1) % 2, i + 1):
+                    c.start()
+
+            for c in get_copies(slot, i):
+                c.wait()
+
+            kb = k_buf[slot].astype(jnp.float32)
+            vb = v_buf[slot].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * sm_scale
+            if causal:
+                q_pos = q_start + jax.lax.broadcasted_iota(
+                    jnp.int32, (blk_q, block_k), 0
+                )
+                k_pos = i * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (blk_q, block_k), 1
+                )
+                s = jnp.where(q_pos >= k_pos, s, _NEG_INF)
+            p = jnp.exp(s - lse)
+            dp = jax.lax.dot_general(
+                do, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            ds = p * (dp - delta) * sm_scale
+            return dq + jax.lax.dot_general(
+                ds, kb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+
+        dq = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((blk_q, d), jnp.float32))
+        dq_ref[0] = dq.astype(dq_ref.dtype)
+
+    pl.run_scoped(
+        scoped,
+        k_buf=pltpu.VMEM((2, block_k, d), kv_dtype),
+        v_buf=pltpu.VMEM((2, block_k, d), kv_dtype),
+        sems=pltpu.SemaphoreType.DMA((2, 2)),
+    )
+
+
 def _flash_bwd_dkv_kernel(
     q_hbm, k_ref, v_ref, do_hbm, lse_hbm, delta_hbm, dk_ref, dv_ref,
     *, block_q: int, seq_len: int, causal: bool, sm_scale: float,
@@ -307,24 +383,55 @@ def _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k, interpret):
     full = lambda i, j: (i, 0, 0)
     qblk = lambda i, j: (i, j, 0)
 
-    dq = pl.pallas_call(
-        functools.partial(
-            _flash_bwd_dq_kernel, block_k=block_k, seq_len=n, causal=causal,
-            sm_scale=sm_scale,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
-        grid=(b * h, n // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), qblk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, d), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, d), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, d), qblk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1), qblk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1), qblk, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), qblk, memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(qf, kf, vf, dof, lsef, delta)
+    # full k/v in VMEM costs 2 * n * 128 lanes regardless of d (narrow head
+    # dims are lane-padded); past the budget, stream k/v from HBM instead
+    kv_vmem_bytes = 2 * n * 128 * q.dtype.itemsize
+    if kv_vmem_bytes <= _DQ_STREAM_BYTES:
+        dq = pl.pallas_call(
+            functools.partial(
+                _flash_bwd_dq_kernel, block_k=block_k, seq_len=n, causal=causal,
+                sm_scale=sm_scale,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
+            grid=(b * h, n // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), qblk, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n, d), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n, d), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, d), qblk, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, 1), qblk, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, 1), qblk, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d), qblk, memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(qf, kf, vf, dof, lsef, delta)
+    else:
+        # HBM DMA slices must be 128-lane aligned -> pad the head dim
+        dq_pad = -d % 128
+        qsp, ksp, vsp, dosp = (
+            jnp.pad(a, ((0, 0), (0, 0), (0, dq_pad))) for a in (qf, kf, vf, dof)
+        )
+        dqp = pl.pallas_call(
+            functools.partial(
+                _flash_bwd_dq_stream_kernel, block_k=128, seq_len=n,
+                causal=causal, sm_scale=sm_scale, kv_dtype=q.dtype,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b * h, n, d + dq_pad), q.dtype),
+            grid=(b * h, n // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d + dq_pad), qblk, memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),  # k stays in HBM
+                pl.BlockSpec(memory_space=pltpu.ANY),  # v stays in HBM
+                pl.BlockSpec((1, block_q, d + dq_pad), qblk, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, 1), qblk, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, 1), qblk, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, block_q, d + dq_pad), qblk, memory_space=pltpu.VMEM
+            ),
+            interpret=interpret,
+        )(qsp, ksp, vsp, dosp, lsef, delta)
+        dq = dqp[..., :d]
 
     # dk/dv: q/dO/lse/delta stay in HBM and are DMA'd per q-block, so every
     # HBM slice must be 128-lane aligned — pad the head dim to 128 (zero

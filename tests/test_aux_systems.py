@@ -57,6 +57,7 @@ def test_eval_loss_runs():
     cfg = load_config([
         "+name=x", "dataset=ucf_101", "algorithm=dfot_video",
         "dataset.resolution=8", "dataset.max_frames=2",
+        "++dataset.latent.enabled=false",
         "++algorithm.backbone.hidden_size=32", "++algorithm.backbone.depth=1",
         "++algorithm.backbone.num_heads=2",
         "++algorithm.backbone.use_gradient_checkpointing=false",

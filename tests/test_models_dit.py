@@ -255,3 +255,52 @@ def test_dit3d_joint_image_video_training():
     o3 = model.apply(variables, x.at[:, 0].add(1.0), k)
     assert float(jnp.abs(out[:, 1] - o3[:, 1]).max()) > 1e-7
     np.testing.assert_allclose(np.asarray(out[:, 4:]), np.asarray(o3[:, 4:]), atol=1e-4)
+
+
+def test_flash_attention_backward_matches_dense():
+    """flash_attention VJP (dq/dk/dv kernels) == dense-softmax autodiff."""
+    q, k, v = [
+        jax.random.normal(jax.random.PRNGKey(10 + i), (1, 2, 256, 64))
+        for i in range(3)
+    ]
+    g = jax.random.normal(jax.random.PRNGKey(13), (1, 2, 256, 64))
+
+    def dense(q, k, v):
+        return attention_with_weights(q, k, v)[0]
+
+    def flash(q, k, v):
+        return flash_attention(q, k, v, False, 128, 128, True)
+
+    _, vjp_d = jax.vjp(dense, q, k, v)
+    _, vjp_f = jax.vjp(flash, q, k, v)
+    for a, b_ in zip(vjp_d(g), vjp_f(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-2)
+
+
+def test_flash_attention_backward_streaming_dq(monkeypatch):
+    """The HBM-streaming dq variant (long sequences) matches the VMEM one."""
+    from dfot_tpu.ops import attention as A
+
+    q, k, v = [
+        jax.random.normal(jax.random.PRNGKey(20 + i), (1, 1, 256, 64))
+        for i in range(3)
+    ]
+    g = jax.random.normal(jax.random.PRNGKey(23), (1, 1, 256, 64))
+
+    def flash(q, k, v):
+        return flash_attention(q, k, v, False, 128, 128, True)
+
+    _, vjp_vmem = jax.vjp(flash, q, k, v)
+    ref = vjp_vmem(g)
+    monkeypatch.setattr(A, "_DQ_STREAM_BYTES", 0)  # force the streaming path
+    _, vjp_stream = jax.vjp(flash, q, k, v)
+    got = vjp_stream(g)
+    for a, b_ in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+    # causal masking through the streaming path too
+    def flash_c(q, k, v):
+        return flash_attention(q, k, v, True, 128, 128, True)
+
+    _, vjp_c = jax.vjp(flash_c, q, k, v)
+    assert all(np.isfinite(np.asarray(t)).all() for t in vjp_c(g))
