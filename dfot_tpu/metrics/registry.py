@@ -145,10 +145,24 @@ class SharedMetricModelRegistry:
             path = os.path.join(self.weights_dir or "", "inception.npz")
             dim = 2048
             if self.weights_dir and os.path.exists(path):
-                raise NotImplementedError(
-                    "InceptionV3 weight import not wired yet; use the random "
-                    "feature fallback or FVD"
-                )
+                # real FID InceptionV3 (pt-inception weights, converted to a
+                # flax-tree .npz) — see metrics/inception.py
+                from .inception import InceptionV3, inception_preprocess
+
+                model = InceptionV3()
+                flat = dict(np.load(path))
+                params = _unflatten({k: jnp.asarray(v) for k, v in flat.items()})
+                self.comparable["inception"] = True
+
+                @jax.jit
+                def apply_real(x):
+                    pooled, _ = model.apply(
+                        {"params": params}, inception_preprocess(x)
+                    )
+                    return pooled
+
+                self._models["inception"] = apply_real
+                return self._models["inception"]
             self.comparable["inception"] = False
             key = jax.random.PRNGKey(42)
 

@@ -271,3 +271,75 @@ def test_clip_dino_import_structural():
     assert [p for p, _ in pt] == [p for p, _ in pi]
     out = dmodel.apply({"params": dparams}, jnp.zeros((1, 32, 32, 3)))
     assert out.shape == (1, 16)
+
+
+def test_inception_v3_import_and_registry(tmp_path):
+    """Torchvision-keyed InceptionV3 state dict imports exactly; the registry
+    serves the real extractor when inception.npz is present."""
+    import jax
+    import jax.numpy as jnp
+
+    from dfot_tpu.metrics.inception import (
+        InceptionV3,
+        import_inception_params,
+        inception_preprocess,
+    )
+
+    model = InceptionV3()
+    target = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3))
+    )["params"]
+
+    # synthesize a torchvision-style state dict by reversing the mapping
+    state = {}
+
+    def walk(node, path):
+        for k, v in node.items():
+            p = path + [k]
+            if isinstance(v, dict):
+                walk(v, p)
+            elif k == "kernel":
+                w = np.asarray(v)
+                key = ".".join(p[:-1] + ["weight"])
+                state[key] = (
+                    np.transpose(w, (3, 2, 0, 1)) if w.ndim == 4 else w.T
+                )
+            else:
+                state[".".join(p)] = np.asarray(v)
+
+    walk(target, [])
+    state["AuxLogits.conv0.conv.weight"] = np.zeros((128, 768, 1, 1))  # ignored
+    state["Mixed_5b.branch1x1.bn.num_batches_tracked"] = np.asarray(7)
+    params = import_inception_params(state)
+    pt = jax.tree_util.tree_leaves_with_path(target)
+    pi = jax.tree_util.tree_leaves_with_path(params)
+    assert [p for p, _ in pt] == [p for p, _ in pi]
+    for (path, vt), (_, vi) in zip(pt, pi):
+        np.testing.assert_allclose(np.asarray(vt), np.asarray(vi), err_msg=str(path))
+
+    pooled, logits = model.apply(
+        {"params": params},
+        inception_preprocess(jnp.zeros((1, 32, 32, 3))),
+    )
+    assert pooled.shape == (1, 2048) and logits.shape == (1, 1008)
+    assert np.isfinite(np.asarray(pooled)).all()
+
+    # registry path: write flax-tree npz and confirm the real extractor loads
+    from dfot_tpu.metrics import SharedMetricModelRegistry
+
+    flat = {}
+
+    def flatten(node, path):
+        for k, v in node.items():
+            p = f"{path}/{k}" if path else k
+            if isinstance(v, dict):
+                flatten(v, p)
+            else:
+                flat[p] = np.asarray(v)
+
+    flatten(params, "")
+    np.savez(tmp_path / "inception.npz", **flat)
+    reg = SharedMetricModelRegistry(weights_dir=str(tmp_path))
+    feats = reg.inception()(jnp.zeros((2, 16, 16, 3)))
+    assert feats.shape == (2, 2048)
+    assert reg.comparable["inception"] is True
