@@ -35,6 +35,7 @@ class SharedMetricModelRegistry:
         if self.weights_dir and os.path.exists(path):
             flat = dict(np.load(path))
             params = _unflatten({k: jnp.asarray(v) for k, v in flat.items()})
+            _check_tree(name, path, params, init_params)
             self.comparable[name] = True
             return params
         self.comparable[name] = False
@@ -152,6 +153,10 @@ class SharedMetricModelRegistry:
                 model = InceptionV3()
                 flat = dict(np.load(path))
                 params = _unflatten({k: jnp.asarray(v) for k, v in flat.items()})
+                init = model.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, 75, 75, 3))
+                )["params"]
+                _check_tree("inception", path, params, init)
                 self.comparable["inception"] = True
 
                 @jax.jit
@@ -186,6 +191,25 @@ class SharedMetricModelRegistry:
 
             self._models["inception"] = apply
         return self._models["inception"]
+
+
+def _check_tree(name: str, path: str, loaded, expected) -> None:
+    """Fail fast (at registry build, not mid-validation) on weight files that
+    don't match the model's parameter tree."""
+    got = {jax.tree_util.keystr(p): v.shape for p, v in
+           jax.tree_util.tree_leaves_with_path(loaded)}
+    want = {jax.tree_util.keystr(p): v.shape for p, v in
+            jax.tree_util.tree_leaves_with_path(expected)}
+    if got != want:
+        missing = sorted(set(want) - set(got))[:5]
+        extra = sorted(set(got) - set(want))[:5]
+        wrong = sorted(
+            k for k in set(got) & set(want) if got[k] != want[k]
+        )[:5]
+        raise ValueError(
+            f"weights file {path} does not match the {name} model: "
+            f"missing={missing} extra={extra} wrong_shape={wrong}"
+        )
 
 
 def _unflatten(flat: Dict[str, jnp.ndarray]):

@@ -14,6 +14,7 @@ from .image_vae import Decoder, Encoder, ImageVAE, ImageVAEConfig
 from .titok import TiTokConfig, TiTokKL, import_titok_params
 from .losses import (
     LPIPS,
+    import_lpips_params,
     NLayerDiscriminator,
     adopt_weight,
     hinge_d_loss,

@@ -159,3 +159,36 @@ def vae_discriminator_loss(
 ) -> jax.Array:
     fn = hinge_d_loss if loss_type == "hinge" else vanilla_d_loss
     return disc_weight * fn(logits_real, logits_fake)
+
+
+# torchvision vgg16 `features.{idx}` conv indices per (stage, conv-in-stage)
+_VGG_TORCHVISION_IDX = (
+    (0, 0, 0), (0, 1, 2),
+    (1, 0, 5), (1, 1, 7),
+    (2, 0, 10), (2, 1, 12), (2, 2, 14),
+    (3, 0, 17), (3, 1, 19), (3, 2, 21),
+    (4, 0, 24), (4, 1, 26), (4, 2, 28),
+)
+
+
+def import_lpips_params(lin_state, vgg_state):
+    """Build the LPIPS flax param tree from torch checkpoints.
+
+    lin_state: the official ``lpips`` package vgg.pth (keys
+    ``lin{i}.model.1.weight`` — 1x1 convs over normalized feature diffs).
+    vgg_state: torchvision ``vgg16`` state dict (``features.{idx}.weight``).
+    """
+    import numpy as np
+
+    tree = {"vgg": {}}
+    for stage, j, idx in _VGG_TORCHVISION_IDX:
+        w = np.asarray(vgg_state[f"features.{idx}.weight"], dtype=np.float32)
+        b = np.asarray(vgg_state[f"features.{idx}.bias"], dtype=np.float32)
+        tree["vgg"][f"conv{stage}_{j}"] = {
+            "kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),
+            "bias": jnp.asarray(b),
+        }
+    for i in range(5):
+        w = np.asarray(lin_state[f"lin{i}.model.1.weight"], dtype=np.float32)
+        tree[f"lin{i}"] = {"kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0)))}
+    return tree

@@ -315,3 +315,36 @@ def test_diffusers_vae_import_structural():
     # imported weights must run
     recon, post = model.apply({"params": params}, x, jax.random.PRNGKey(2))
     assert np.isfinite(np.asarray(recon)).all()
+
+
+def test_lpips_import_structural():
+    """torchvision vgg16 + lpips lin checkpoints map exactly onto LPIPS."""
+    from dfot_tpu.vae import LPIPS, import_lpips_params
+
+    model = LPIPS()
+    x = jnp.zeros((1, 32, 32, 3))
+    target = model.init(jax.random.PRNGKey(0), x, x)["params"]
+
+    def r(*shape, seed=0):
+        return np.random.RandomState(sum(shape) + seed).randn(*shape).astype(np.float32) * 0.05
+
+    chans = [(64, 3), (64, 64), (128, 64), (128, 128), (256, 128), (256, 256),
+             (256, 256), (512, 256), (512, 512), (512, 512), (512, 512),
+             (512, 512), (512, 512)]
+    idxs = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    vgg_state = {}
+    for (o, i), idx in zip(chans, idxs):
+        vgg_state[f"features.{idx}.weight"] = r(o, i, 3, 3, seed=idx)
+        vgg_state[f"features.{idx}.bias"] = r(o, seed=idx + 1)
+    lin_state = {
+        f"lin{i}.model.1.weight": r(1, c, 1, 1, seed=90 + i)
+        for i, c in enumerate([64, 128, 256, 512, 512])
+    }
+    params = import_lpips_params(lin_state, vgg_state)
+    pt = jax.tree_util.tree_leaves_with_path(target)
+    pi = jax.tree_util.tree_leaves_with_path(params)
+    assert [p for p, _ in pt] == [p for p, _ in pi]
+    for (path, vt), (_, vi) in zip(pt, pi):
+        assert vt.shape == vi.shape, path
+    d = model.apply({"params": params}, x, jnp.ones_like(x) * 0.5)
+    assert d.shape == (1,) and np.isfinite(np.asarray(d)).all()
