@@ -242,6 +242,9 @@ class DFoTVideoAlgo:
 
             spec = UViTSpec.from_config(bcfg, self.max_tokens)
             cls = UViT3DPose if name == "u_vit3d_pose" else UViT3D
+            # UViT has no label classifier-embedding table (reference
+            # u_vit3d.py signature takes actions/poses only)
+            common.pop("external_cond_num_classes", None)
             if name == "u_vit3d_pose":
                 common["external_cond_dim"] = conditioning_dim(
                     self.cfg.camera_pose_conditioning.type

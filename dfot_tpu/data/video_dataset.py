@@ -286,7 +286,20 @@ class SyntheticVideoDataset:
             "videos": video.astype(np.float32),
             "nonterminal": np.ones(self.n_frames, dtype=bool),
         }
-        if self.cond_dim:
+        if self.cond_dim == 16:
+            # valid RE10K-style camera poses: intrinsics + a smooth orbit
+            # trajectory of orthonormal 3x4 extrinsics, so the quaternion /
+            # SLERP pose math downstream stays well-posed
+            K = np.asarray([0.8, 0.8, 0.5, 0.5], np.float32)
+            conds = np.empty((self.n_frames, 16), np.float32)
+            for t in range(self.n_frames):
+                a = speed * 0.1 * t + phase * 0.01
+                c, s = np.cos(a), np.sin(a)
+                R = np.asarray([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+                T = np.asarray([0.1 * t, 0.0, 0.05 * t], np.float32)
+                conds[t] = np.concatenate([K, np.concatenate([R, T[:, None]], 1).reshape(-1)])
+            out["conds"] = conds
+        elif self.cond_dim:
             out["conds"] = rng.randn(self.n_frames, self.cond_dim).astype(np.float32)
         return out
 
@@ -300,8 +313,9 @@ def build_dataset(cfg, split: str = "training", current_epoch: Optional[int] = N
             num_videos=(
                 256 if split == "training" else cfg.get("num_eval_videos") or 16
             ),
-            n_frames=1 + ((cfg.max_frames if split == "training" else cfg.n_frames) - 1)
-            * cfg.frame_skip,
+            # synthetic videos are emitted at token rate directly (no
+            # frame_skip subsampling happens for them)
+            n_frames=cfg.max_frames if split == "training" else cfg.n_frames,
             resolution=cfg.resolution,
             channels=cfg.observation_shape[0],
             cond_dim=cfg.external_cond_dim or 0,
