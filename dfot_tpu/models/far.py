@@ -149,6 +149,13 @@ class FARDiT(nn.Module):
             emb = emb + cond.astype(emb.dtype)
         c = jnp.repeat(emb, P, axis=1)  # (B, T*P, C)
 
+        head_dim = s.hidden_size // s.num_heads
+        if sum(s.axes_dims_rope) != head_dim:
+            raise ValueError(
+                f"axes_dims_rope {s.axes_dims_rope} must sum to the head dim "
+                f"{head_dim} (hidden_size {s.hidden_size} / num_heads "
+                f"{s.num_heads}); set ++algorithm.backbone.axes_dims_rope"
+            )
         rope = make_rope_nd(s.axes_dims_rope, (s.max_temporal_length, gh, gw))
         bias = jnp.asarray(self._causal_bias(T, P))
 
