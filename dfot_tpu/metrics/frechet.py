@@ -9,7 +9,6 @@ host — eval-time math, not a device hot path).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 from scipy import linalg

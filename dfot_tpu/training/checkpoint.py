@@ -11,9 +11,8 @@ from __future__ import annotations
 import os
 import re
 import shutil
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
