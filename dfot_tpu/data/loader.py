@@ -14,7 +14,7 @@ from typing import Dict, Iterator, Optional
 
 import numpy as np
 
-__all__ = ["DataLoader"]
+__all__ = ["DataLoader", "GrainDataLoader", "make_loader"]
 
 
 def _collate(items) -> Dict[str, np.ndarray]:
@@ -81,3 +81,75 @@ class DataLoader:
                 yield batch
         finally:
             stop.set()
+
+
+class GrainDataLoader:
+    """Multi-process loader on Google grain (TPU-idiomatic host input
+    pipeline): per-worker processes decode/augment clips in parallel and the
+    loader keeps batches prefetched ahead of the jitted step. Same iteration
+    protocol as :class:`DataLoader` (dicts of stacked numpy arrays).
+
+    Counterpart of the reference's torch DataLoader `num_workers`
+    (base_data_module.py:33-98).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = True,
+        seed: int = 0,
+        num_workers: int = 4,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_workers = num_workers
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        import grain.python as grain
+
+        sampler = grain.IndexSampler(
+            num_records=len(self.dataset),
+            shard_options=grain.NoSharding(),
+            shuffle=self.shuffle,
+            num_epochs=1,
+            seed=self.seed + self.epoch,
+        )
+        self.epoch += 1
+        loader = grain.DataLoader(
+            data_source=self.dataset,
+            sampler=sampler,
+            operations=[grain.Batch(self.batch_size, drop_remainder=self.drop_last)],
+            worker_count=self.num_workers,
+        )
+        for batch in loader:
+            yield {k: np.asarray(v) for k, v in batch.items()}
+
+
+def make_loader(
+    dataset,
+    batch_size: int,
+    shuffle: bool = False,
+    drop_last: bool = True,
+    seed: int = 0,
+    num_workers: int = 0,
+):
+    """Loader factory: grain worker processes when ``num_workers > 0``,
+    the in-process thread-prefetch loader otherwise."""
+    if num_workers and num_workers > 0:
+        return GrainDataLoader(
+            dataset, batch_size, shuffle=shuffle, drop_last=drop_last,
+            seed=seed, num_workers=num_workers,
+        )
+    return DataLoader(
+        dataset, batch_size, shuffle=shuffle, drop_last=drop_last, seed=seed
+    )

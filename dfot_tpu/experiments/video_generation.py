@@ -112,16 +112,19 @@ class VideoGenerationExperiment:
         sub = cfg.dataset.get("subdataset_size")
         use_subdataset = isinstance(sub, int)
 
-        def make_loader(epoch: int) -> DataLoader:
+        def make_loader(epoch: int):
+            from ..data.loader import make_loader as _make
+
             dataset = build_dataset(
                 cfg.dataset, "training",
                 current_epoch=epoch if use_subdataset else None,
             )
-            return DataLoader(
+            return _make(
                 dataset,
                 batch_size=tcfg.batch_size,
                 shuffle=tcfg.data.get("shuffle", True),
                 seed=tcfg.get("manual_seed", 0),
+                num_workers=tcfg.data.get("num_workers", 0) or 0,
             )
 
         loader = make_loader(0)

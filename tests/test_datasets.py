@@ -141,3 +141,26 @@ def test_dataloader_epochs():
     # same multiset of items, different order across epochs
     assert not np.allclose(e1, e2)
     np.testing.assert_allclose(np.sort(e1.reshape(32, -1), 0), np.sort(e2.reshape(32, -1), 0))
+
+
+def test_grain_loader_backend():
+    """make_loader(num_workers>0) returns the grain-backed loader producing
+    the same batch protocol as the threaded loader."""
+    from dfot_tpu.data.loader import DataLoader, GrainDataLoader, make_loader
+    from dfot_tpu.data.video_dataset import SyntheticVideoDataset
+
+    ds = SyntheticVideoDataset(num_videos=10, n_frames=3, resolution=8)
+    threaded = make_loader(ds, batch_size=4, shuffle=True, seed=3)
+    grain_l = make_loader(ds, batch_size=4, shuffle=True, seed=3, num_workers=2)
+    assert isinstance(threaded, DataLoader) and isinstance(grain_l, GrainDataLoader)
+    assert len(threaded) == len(grain_l) == 2  # drop_last
+
+    batches = list(grain_l)
+    assert len(batches) == 2
+    for b in batches:
+        assert set(b) == {"videos", "nonterminal"}
+        assert b["videos"].shape == (4, 3, 8, 8, 3)
+        assert b["nonterminal"].dtype == np.bool_
+    # next epoch reshuffles but keeps the protocol
+    again = next(iter(grain_l))
+    assert again["videos"].shape == (4, 3, 8, 8, 3)
