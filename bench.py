@@ -33,6 +33,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    import os as _os
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("DFOT_COMPILE_CACHE", _os.path.expanduser("~/.cache/dfot_jax")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     if args.tiny:
         jax.config.update("jax_platforms", "cpu")
 

@@ -20,6 +20,16 @@ def run(argv):
     from dfot_tpu.config import load_config
     from dfot_tpu.experiments import build_experiment
 
+    # persistent XLA compilation cache: repeat runs (bench, validation
+    # sweeps, requeued jobs) skip the multi-minute compiles
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("DFOT_COMPILE_CACHE", os.path.expanduser("~/.cache/dfot_jax")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     cfg = load_config(argv)
     if "name" not in cfg:
         raise ValueError(
