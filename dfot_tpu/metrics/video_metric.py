@@ -52,7 +52,7 @@ class VideoMetric:
         self._frame_acc: Dict[str, List[float]] = {m: [] for m in FRAME_WISE}
         self._fvd = FrechetDistance(400)
         self._fid = FrechetDistance(2048)
-        self._fvmd = FrechetDistance(400)
+        self._fvmd = FrechetDistance(1024)
         self._is = InceptionScore()
         # vbench on predictions, real_vbench on ground truth (reference
         # video_metric.py:81, 213-215)
@@ -121,18 +121,17 @@ class VideoMetric:
             self._vbench["vbench"].update(preds)
         if "real_vbench" in self._vbench:
             self._vbench["real_vbench"].update(targets)
-        if "fvmd" in self.metric_types:
-            # Frechet video MOTION distance: the reference scores PIPS point
-            # tracks (metrics/video/fvmd.py); here motion features are I3D
-            # logits of the temporal-difference video — a tracker-free proxy
-            # (flagged non-comparable unless PIPS weights are provided)
-            i3d = self.registry.i3d()
+        if "fvmd" in self.metric_types and preds.shape[1] >= 16:
+            # Frechet video MOTION distance (reference fvmd.py requires
+            # >= 16 frames and skips otherwise, :36-40): velocity +
+            # acceleration histograms over tracked points. Tracking uses a
+            # weight-free LK tracker instead of pretrained PIPS -> flagged
+            # non-comparable to published FVMD tables.
+            from .motion import motion_features
+
             self.registry.comparable.setdefault("fvmd", False)
             for vids, real in ((targets, True), (preds, False)):
-                motion = np.abs(np.diff(vids, axis=1)) * 0.5 + 0.25
-                motion = self._pad_to_min_frames(motion, 9)
-                logits, _ = i3d(jnp.asarray(motion))
-                self._fvmd.update(np.asarray(logits), real)
+                self._fvmd.update(motion_features(vids), real)
         self._count += B
 
     def _acc_frame(self, name: str, per_frame, eval_mask: np.ndarray) -> None:

@@ -130,19 +130,36 @@ def test_vbench_quality_orders_videos():
 
 
 def test_fvmd_orders_motion_fidelity():
+    """Tracked velocity/acceleration histograms: matched motion scores
+    lower FVMD than wrong motion (>= 16 frames, reference fvmd.py:36-40)."""
     from dfot_tpu.metrics import SharedMetricModelRegistry, VideoMetric
 
     vm = VideoMetric(("fvmd",), SharedMetricModelRegistry())
-    rng = np.random.RandomState(0)
-    gt = np.clip(rng.rand(2, 6, 32, 32, 3), 0, 1).astype(np.float32)
-    same_motion = np.clip(gt + 0.02 * rng.randn(*gt.shape), 0, 1).astype(np.float32)
-    static = np.repeat(gt[:, :1], 6, axis=1)  # motion completely wrong
+    T, H = 17, 32
+    yy, xx = np.mgrid[0:H, 0:H].astype(np.float32)
+
+    def vid(speed, phase=0.0):
+        frames = [
+            0.5
+            + 0.2 * np.sin((xx - speed * t + phase) * 0.3) * np.cos(yy * 0.22)
+            + 0.1 * np.sin((xx - speed * t) * 0.11 + yy * 0.17)
+            for t in range(T)
+        ]
+        return np.stack(frames)[None, ..., None].astype(np.float32)
+
+    gt = np.concatenate([vid(2.0), vid(2.0, phase=3.0)], axis=0)
+    same_motion = np.concatenate([vid(2.0, phase=1.0), vid(2.0, phase=5.0)], axis=0)
+    static = np.repeat(gt[:, :1], T, axis=1)  # no motion at all
 
     vm.update(same_motion, gt)
     good = vm.log()["fvmd"]
     vm.update(static, gt)
     bad = vm.log()["fvmd"]
     assert good < bad
+
+    # < 16 frames: reference skips FVMD entirely
+    vm.update(gt[:, :8], gt[:, :8])
+    assert vm.log()["fvmd"] == 0.0  # no features accumulated
 
 
 def test_vbench_model_dims_with_registry(monkeypatch):
