@@ -35,11 +35,13 @@ def main():
 
     import os as _os
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        _os.environ.get("DFOT_COMPILE_CACHE", _os.path.expanduser("~/.cache/dfot_jax")),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if not (args.tiny or _os.environ.get("JAX_PLATFORMS", "").startswith("cpu")):
+        # cache only device compiles (XLA:CPU AOT reload is feature-sensitive)
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("DFOT_COMPILE_CACHE", _os.path.expanduser("~/.cache/dfot_jax")),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if args.tiny:
         jax.config.update("jax_platforms", "cpu")

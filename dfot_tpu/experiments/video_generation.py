@@ -377,6 +377,15 @@ class VideoGenerationExperiment:
                     )
                     for k, v in videos.items()
                 }
+            # multi-host eval: gather each host's videos before scoring, so
+            # the metric suite sees the global batch (reference
+            # accelerator.gather_for_metrics, simple_video_generation.py:422-452)
+            if jax.process_count() > 1:
+                from ..parallel import gather_for_metrics, is_rank_zero
+
+                videos = gather_for_metrics(videos)
+                if not is_rank_zero():
+                    continue
             gt = np.asarray(videos["gt"])
             B, T = gt.shape[:2]
             ctx = np.zeros((B, T), dtype=bool)

@@ -24,11 +24,14 @@ def run(argv):
     # sweeps, requeued jobs) skip the multi-minute compiles
     import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("DFOT_COMPILE_CACHE", os.path.expanduser("~/.cache/dfot_jax")),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if not os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # XLA:CPU AOT cache entries are machine-feature-sensitive (reload
+        # warnings / potential SIGILL); cache only device compiles
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("DFOT_COMPILE_CACHE", os.path.expanduser("~/.cache/dfot_jax")),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     cfg = load_config(argv)
     if "name" not in cfg:
