@@ -125,14 +125,24 @@ class GrainDataLoader:
             seed=self.seed + self.epoch,
         )
         self.epoch += 1
+        # batching happens HERE, not as a grain operation: grain applies
+        # operations per worker shard, so Batch(batch_size) inside the pool
+        # silently drops everything whenever records/worker < batch_size
+        workers = max(1, min(self.num_workers, len(self.dataset) // self.batch_size))
         loader = grain.DataLoader(
             data_source=self.dataset,
             sampler=sampler,
-            operations=[grain.Batch(self.batch_size, drop_remainder=self.drop_last)],
-            worker_count=self.num_workers,
+            operations=[],
+            worker_count=workers,
         )
-        for batch in loader:
-            yield {k: np.asarray(v) for k, v in batch.items()}
+        buf = []
+        for item in loader:
+            buf.append(item)
+            if len(buf) == self.batch_size:
+                yield _collate(buf)
+                buf = []
+        if buf and not self.drop_last:
+            yield _collate(buf)
 
 
 def make_loader(

@@ -193,20 +193,45 @@ class VideoGenerationExperiment:
 
         # in-training validation: denoising loss on held-out batches using
         # EMA weights (reference run_validation, validate_sample=False)
-        val_every = cfg.experiment.validation.get("val_every_n_step")
+        vcfg_val = cfg.experiment.validation
+        val_every = vcfg_val.get("val_every_n_step")
         val_every = val_every if isinstance(val_every, int) and val_every > 1 else 0
+        val_epoch_every = vcfg_val.get("val_every_n_epoch") or 0
         val_loader = None
         eval_loss_fn = None
-        if val_every:
+        if val_every or val_epoch_every:
             try:
                 val_dataset = build_dataset(cfg.dataset, "validation")
                 val_loader = DataLoader(
-                    val_dataset, cfg.experiment.validation.batch_size,
+                    val_dataset, vcfg_val.batch_size,
                     shuffle=False, drop_last=False,
                 )
                 eval_loss_fn = algo.make_eval_loss()
             except FileNotFoundError:
                 val_every = 0
+                val_epoch_every = 0
+
+        def run_eval_loss(at_step: int) -> None:
+            if val_loader is None:
+                return
+            losses = []
+            eval_params = (
+                state.ema_params if state.ema_params is not None else state.params
+            )
+            nonlocal rng
+            for j, vb in enumerate(val_loader):
+                if j >= 4:
+                    break
+                vt = self._tokenize_batch(vb)
+                vt.pop("gt_videos", None)
+                if "conditions" in vt:
+                    vt["conditions"] = jnp.asarray(
+                        algo.process_conditions(vt["conditions"])
+                    )
+                rng, r_v = jax.random.split(rng)
+                losses.append(float(eval_loss_fn(eval_params, vt, r_v)))
+            if losses:
+                self.logger.log({"validation/loss": float(np.mean(losses))}, at_step)
 
         step = int(state.step)
         t_start = time.time()
@@ -244,27 +269,18 @@ class VideoGenerationExperiment:
                     if ckpt_every and step % ckpt_every == 0:
                         save_checkpoint(self.ckpt_dir, step, state, save_top_k)
                     if val_every and step % val_every == 0:
-                        losses = []
-                        eval_params = (
-                            state.ema_params if state.ema_params is not None else state.params
-                        )
-                        for j, vb in enumerate(val_loader):
-                            if j >= 4:
-                                break
-                            vt = self._tokenize_batch(vb)
-                            vt.pop("gt_videos", None)
-                            if "conditions" in vt:
-                                vt["conditions"] = jnp.asarray(
-                                    algo.process_conditions(vt["conditions"])
-                                )
-                            rng, r_v = jax.random.split(rng)
-                            losses.append(float(eval_loss_fn(eval_params, vt, r_v)))
-                        if losses:
-                            self.logger.log({"validation/loss": float(np.mean(losses))}, step)
+                        run_eval_loss(step)
                     if max_steps is not None and step >= max_steps:
                         done = True
                         break
                 epoch += 1
+                # epoch-based cadences (reference val_every_n_epoch /
+                # checkpointing.every_n_epochs)
+                if val_epoch_every and not done and epoch % val_epoch_every == 0:
+                    run_eval_loss(step)
+                ckpt_epochs = tcfg.checkpointing.get("every_n_epochs") or 0
+                if ckpt_epochs and not done and epoch % ckpt_epochs == 0:
+                    save_checkpoint(self.ckpt_dir, step, state, save_top_k)
                 if use_subdataset and not done:
                     loader = make_loader(epoch)
                 if max_epochs is not None and epoch >= max_epochs:

@@ -164,3 +164,17 @@ def test_grain_loader_backend():
     # next epoch reshuffles but keeps the protocol
     again = next(iter(grain_l))
     assert again["videos"].shape == (4, 3, 8, 8, 3)
+
+
+def test_grain_loader_no_per_worker_batch_loss():
+    """Regression: grain applies operations per worker shard — batching must
+    happen outside the pool or big batches with many workers silently drop
+    every record (found live: 11 workers x batch 64 over 256 records -> 0)."""
+    from dfot_tpu.data.loader import make_loader
+    from dfot_tpu.data.video_dataset import SyntheticVideoDataset
+
+    ds = SyntheticVideoDataset(num_videos=256, n_frames=2, resolution=8)
+    l = make_loader(ds, batch_size=64, shuffle=True, seed=0, num_workers=11)
+    batches = list(l)
+    assert len(batches) == 4
+    assert all(b["videos"].shape[0] == 64 for b in batches)
