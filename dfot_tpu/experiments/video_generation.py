@@ -404,11 +404,17 @@ class VideoGenerationExperiment:
                     continue
             gt = np.asarray(videos["gt"])
             B, T = gt.shape[:2]
-            ctx = np.zeros((B, T), dtype=bool)
-            ctx[:, :nct] = True
             for task, vid in videos.items():
                 if task == "gt":
                     continue
+                # per-task context frames: prediction conditions on the
+                # prefix; interpolation on both endpoints (rollout
+                # interpolate_videos default mask)
+                ctx = np.zeros((B, T), dtype=bool)
+                if task.startswith("interpolation"):
+                    ctx[:, [0, -1]] = True
+                else:
+                    ctx[:, :nct] = True
                 if task not in task_metrics:
                     task_metrics[task] = VideoMetric(
                         metric_types, registry,

@@ -151,7 +151,7 @@ def test_grain_loader_backend():
 
     ds = SyntheticVideoDataset(num_videos=10, n_frames=3, resolution=8)
     threaded = make_loader(ds, batch_size=4, shuffle=True, seed=3)
-    grain_l = make_loader(ds, batch_size=4, shuffle=True, seed=3, num_workers=2)
+    grain_l = make_loader(ds, batch_size=4, shuffle=True, seed=3, num_workers=1)
     assert isinstance(threaded, DataLoader) and isinstance(grain_l, GrainDataLoader)
     assert len(threaded) == len(grain_l) == 2  # drop_last
 
@@ -174,7 +174,9 @@ def test_grain_loader_no_per_worker_batch_loss():
     from dfot_tpu.data.video_dataset import SyntheticVideoDataset
 
     ds = SyntheticVideoDataset(num_videos=256, n_frames=2, resolution=8)
-    l = make_loader(ds, batch_size=64, shuffle=True, seed=0, num_workers=11)
+    # 5 workers: 256/5 ~ 51 records/worker < batch 64 -> the old per-shard
+    # Batch would starve; fewer spawns keep the test fast
+    l = make_loader(ds, batch_size=64, shuffle=True, seed=0, num_workers=5)
     batches = list(l)
     assert len(batches) == 4
     assert all(b["videos"].shape[0] == 64 for b in batches)

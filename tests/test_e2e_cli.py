@@ -20,6 +20,7 @@ TINY_OVERRIDES = [
     "dataset.max_frames=4",
     "dataset.context_length=1",
     "++dataset.latent.enabled=false",
+    "++experiment.training.data.num_workers=0",
     "++algorithm.backbone.hidden_size=64",
     "++algorithm.backbone.depth=2",
     "++algorithm.backbone.num_heads=2",
