@@ -292,15 +292,22 @@ class VideoGenerationExperiment:
     def validation(self, namespace: str = "validation") -> None:
         cfg = self.cfg
         vcfg = cfg.experiment.validation
-        # val_all_ckpt: sweep every checkpoint_<step>/ dir (reference
-        # simple_video_generation.py val_all_ckpt)
-        if vcfg.get("val_all_ckpt") and os.path.isdir(self.ckpt_dir):
+        # val_all_ckpt: sweep every checkpoint_<step>/ dir under load= (or
+        # this run's own checkpoints) — reference val_all_ckpt
+        if vcfg.get("val_all_ckpt"):
+            sweep = str(self.load_path) if self.load_path else self.ckpt_dir
+            if os.path.isdir(os.path.join(sweep, "checkpoints")):
+                sweep = os.path.join(sweep, "checkpoints")
             ckpts = sorted(
-                (d for d in os.listdir(self.ckpt_dir) if d.startswith("checkpoint_")),
+                (d for d in os.listdir(sweep) if d.startswith("checkpoint_")),
                 key=lambda d: int(d.split("_")[1]),
-            )
+            ) if os.path.isdir(sweep) else []
+            if not ckpts:
+                raise FileNotFoundError(
+                    f"val_all_ckpt: no checkpoint_<step> dirs under {sweep}"
+                )
             for ckpt in ckpts:
-                self.load_path = os.path.join(self.ckpt_dir, ckpt)
+                self.load_path = os.path.join(sweep, ckpt)
                 step = int(ckpt.split("_")[1])
                 self._validate_once(f"{namespace}/step_{step}")
             return
