@@ -6,10 +6,13 @@ per video; metadata (paths + lengths) is scanned once and cached to
 ``{save_dir}/metadata/{split}.npz``. Latents live in
 ``{save_dir}_latent_{resolution}{suffix}/{split}/``.
 
-Supported on-disk formats on this host (no mp4 decoders in the image):
+Supported on-disk formats:
 - ``.npz`` with a ``video`` array (T, H, W, C) uint8 and optional ``actions``
   (DMLab/Minecraft-style; reference dmlab.py:19-60),
 - ``.npy`` raw video arrays,
+- ``.mp4/.avi/.mov/.mkv/.webm`` decoded with OpenCV and rescale-and-cropped
+  to the dataset resolution (reference utils/transform.py:90-110; the
+  reference decodes with PyAV/decord instead),
 - preprocessed latents as ``.npy``.
 
 ``SyntheticVideoDataset`` generates deterministic moving-gradient videos for
@@ -30,7 +33,56 @@ from .clips import (
     stack_external_cond,
 )
 
-__all__ = ["VideoDataset", "SyntheticVideoDataset", "build_dataset"]
+__all__ = ["VideoDataset", "SyntheticVideoDataset", "build_dataset", "rescale_and_crop"]
+
+_VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv", ".webm")
+
+
+def rescale_and_crop(video: np.ndarray, resolution: int) -> np.ndarray:
+    """(T, H, W, C) uint8 -> (T, resolution, resolution, C): short side scaled
+    to `resolution`, center-cropped (reference utils/transform.py:90-110)."""
+    import cv2
+
+    t, h, w, c = video.shape
+    scale = max(resolution / h, resolution / w)
+    hs, ws = round(h * scale), round(w * scale)
+    out = np.empty((t, resolution, resolution, c), dtype=video.dtype)
+    row = (hs - resolution) // 2
+    col = (ws - resolution) // 2
+    for i in range(t):
+        f = cv2.resize(video[i], (ws, hs), interpolation=cv2.INTER_AREA)
+        out[i] = f[row : row + resolution, col : col + resolution]
+    return out
+
+
+def _mp4_length(path: str) -> int:
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    try:
+        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    finally:
+        cap.release()
+    return n
+
+
+def _mp4_read(path: str, start: int, end: int) -> np.ndarray:
+    """Decode frames [start, end) as (N, H, W, 3) RGB uint8."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    try:
+        if start:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+        frames = []
+        for _ in range(end - start):
+            ok, f = cap.read()
+            if not ok:
+                break
+            frames.append(cv2.cvtColor(f, cv2.COLOR_BGR2RGB))
+    finally:
+        cap.release()
+    return np.stack(frames)
 
 
 class VideoDataset:
@@ -107,6 +159,8 @@ class VideoDataset:
                         length = z["video"].shape[0]
                 elif name.endswith(".npy"):
                     length = np.load(path, mmap_mode="r").shape[0]
+                elif name.lower().endswith(_VIDEO_EXTS):
+                    length = _mp4_length(path)
                 else:
                     continue
                 metadata.append({"path": path, "length": length})
@@ -124,6 +178,10 @@ class VideoDataset:
         if path.endswith(".npz"):
             with np.load(path) as z:
                 video = z["video"][start:end]
+        elif path.lower().endswith(_VIDEO_EXTS):
+            video = _mp4_read(path, start, end)
+            if video.shape[1] != self.resolution or video.shape[2] != self.resolution:
+                video = rescale_and_crop(video, self.resolution)
         else:
             video = np.load(path, mmap_mode="r")[start:end]
         video = np.asarray(video)

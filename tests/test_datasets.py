@@ -180,3 +180,41 @@ def test_grain_loader_no_per_worker_batch_loss():
     batches = list(l)
     assert len(batches) == 4
     assert all(b["videos"].shape[0] == 64 for b in batches)
+
+
+def test_mp4_video_dataset(tmp_path):
+    """mp4 videos decode via OpenCV with rescale-and-crop to the dataset
+    resolution; class labels come from the parent directory (UCF layout)."""
+    import cv2
+
+    from dfot_tpu.config import load_config
+    from dfot_tpu.data.video_dataset import VideoDataset
+
+    for cls in ("ApplyLipstick", "Basketball"):
+        d = tmp_path / "training" / cls
+        os.makedirs(d)
+        w = cv2.VideoWriter(
+            str(d / f"{cls}_v0.mp4"), cv2.VideoWriter_fourcc(*"mp4v"), 10, (48, 36)
+        )
+        rng = np.random.RandomState(hash(cls) % 100)
+        for _ in range(10):
+            w.write((rng.rand(36, 48, 3) * 255).astype(np.uint8))
+        w.release()
+
+    cfg = load_config([
+        "+name=t", "dataset=cond_ucf_101", "experiment=video_generation",
+        f"dataset.save_dir={tmp_path}", "dataset.resolution=16",
+        "dataset.max_frames=4", "++dataset.latent.enabled=false",
+    ]).dataset
+    ds = VideoDataset(cfg, "training")
+    assert len(ds.metadata) == 2 and all(m["length"] == 10 for m in ds.metadata)
+    item = ds[0]
+    assert item["videos"].shape == (4, 16, 16, 3)  # rescale-and-crop applied
+    assert item["videos"].dtype == np.float32
+    assert 0.0 <= item["videos"].min() and item["videos"].max() <= 1.0
+    assert item["conds"].shape == ()  # class label from the parent dir
+    labels = {int(ds[i]["conds"]) for i in (0, len(ds) - 1)}
+    assert labels == {0, 1}
+    # metadata cache round-trips
+    ds2 = VideoDataset(cfg, "training")
+    assert [m["length"] for m in ds2.metadata] == [10, 10]

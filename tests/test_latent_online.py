@@ -15,6 +15,7 @@ OVERRIDES = [
     "dataset.max_frames=5",   # 1 + 4k frames -> 2 tokens at temporal factor 4
     "dataset.n_frames=5",
     "dataset.context_length=1",
+    "++experiment.training.data.num_workers=0",
     "++dataset.latent.num_channels=4",
     "dataset.latent.downsampling_factor=[4,8]",
     "dataset.data_mean=null",
