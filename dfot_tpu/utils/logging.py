@@ -105,3 +105,17 @@ def log_video(
         np.savez_compressed(
             os.path.join(raw_dir, base + ".npz"), pred=pred, gt=gt
         )
+        # raw mp4 dump alongside (reference logging_utils.py raw mp4 path)
+        try:
+            import cv2
+
+            Th, Tw = grid.shape[1:3]
+            vw = cv2.VideoWriter(
+                os.path.join(raw_dir, base + ".mp4"),
+                cv2.VideoWriter_fourcc(*"mp4v"), fps, (Tw, Th),
+            )
+            for t in range(T):
+                vw.write(cv2.cvtColor(grid[t], cv2.COLOR_RGB2BGR))
+            vw.release()
+        except ImportError:
+            pass
