@@ -43,22 +43,94 @@ def temporal_flickering(videos: np.ndarray) -> float:
 
 
 def motion_smoothness(videos: np.ndarray) -> float:
-    """Interpolation residual: reconstruct odd frames as the average of their
-    neighbors and score the error (proxy for the AMT-S interpolation check)."""
-    if videos.shape[1] < 3:
+    """Interpolation residual: reconstruct every middle frame from its
+    neighbors and score the error — the same consistency check the
+    reference's AMT-S interpolator performs (vbench/motion_smoothness.py).
+    With OpenCV available the middle frame is predicted by warping the
+    first frame along half the a->c optical flow; otherwise the plain
+    neighbor average is used."""
+    B, T = videos.shape[:2]
+    if T < 3:
         return 1.0
-    interp = 0.5 * (videos[:, :-2] + videos[:, 2:])
-    err = np.abs(interp - videos[:, 1:-1]).mean()
-    return float(np.clip(1.0 - err * 255.0 / 255.0, 0.0, 1.0))
+    try:
+        import cv2
+    except ImportError:
+        interp = 0.5 * (videos[:, :-2] + videos[:, 2:])
+        err = np.abs(interp - videos[:, 1:-1]).mean()
+        return float(np.clip(1.0 - err, 0.0, 1.0))
+
+    errs = []
+    H, W = videos.shape[2:4]
+    gx, gy = np.meshgrid(np.arange(W, dtype=np.float32), np.arange(H, dtype=np.float32))
+    for b in range(B):
+        u8 = (np.clip(videos[b], 0, 1) * 255).astype(np.uint8)
+        gray = [
+            cv2.cvtColor(f, cv2.COLOR_RGB2GRAY) if f.shape[-1] == 3 else f[..., 0]
+            for f in u8
+        ]
+        for t in range(0, T - 2):
+            flow = cv2.calcOpticalFlowFarneback(
+                gray[t], gray[t + 2], None, 0.5, 3, 15, 3, 5, 1.2, 0
+            )
+            # backward-warp: middle-frame pixel p came from ~p - flow/2 in
+            # frame t (dst(p) = src(map(p)) in cv2.remap)
+            map_x = gx - 0.5 * flow[..., 0]
+            map_y = gy - 0.5 * flow[..., 1]
+            pred = cv2.remap(
+                u8[t], map_x, map_y, cv2.INTER_LINEAR, borderMode=cv2.BORDER_REPLICATE
+            )
+            if pred.ndim == 2:
+                pred = pred[..., None]
+            errs.append(np.abs(pred.astype(np.float32) - u8[t + 1]).mean() / 255.0)
+    return float(np.clip(1.0 - np.mean(errs), 0.0, 1.0))
 
 
-def dynamic_degree(videos: np.ndarray, threshold: float = 0.01) -> float:
-    """Fraction of videos with non-trivial motion energy (RAFT-flow proxy:
-    mean absolute temporal gradient)."""
-    if videos.shape[1] < 2:
+def dynamic_degree(videos: np.ndarray, resolution: int = 224) -> float:
+    """Fraction of dynamic videos, scored with the reference's exact rule
+    (vbench/dynamic_degree.py): per consecutive-frame optical flow, frame
+    score = mean of the top-5% flow magnitudes; a frame moves if score >
+    6 * (res/256); a video is dynamic if >= round(4 * T/16) frames move.
+    Flow comes from OpenCV Farneback (dense, weight-free) instead of RAFT.
+    """
+    B, T = videos.shape[:2]
+    if T < 2:
         return 0.0
-    energy = np.abs(np.diff(videos, axis=1)).mean(axis=(1, 2, 3, 4))
-    return float((energy > threshold).mean())
+    try:
+        import cv2
+    except ImportError:  # temporal-gradient fallback
+        energy = np.abs(np.diff(videos, axis=1)).mean(axis=(1, 2, 3, 4))
+        return float((energy > 0.01).mean())
+
+    thr = 6.0 * (resolution / 256.0)
+    count_threshold = round(4 * (T / 16.0))
+    dynamic = 0
+    for b in range(B):
+        gray = [
+            cv2.cvtColor(
+                cv2.resize(
+                    (np.clip(videos[b, t], 0, 1) * 255).astype(np.uint8),
+                    (resolution, resolution),
+                ),
+                cv2.COLOR_RGB2GRAY,
+            )
+            if videos.shape[-1] == 3
+            else cv2.resize(
+                (np.clip(videos[b, t, ..., 0], 0, 1) * 255).astype(np.uint8),
+                (resolution, resolution),
+            )
+            for t in range(T)
+        ]
+        moving = 0
+        for t in range(T - 1):
+            flow = cv2.calcOpticalFlowFarneback(
+                gray[t], gray[t + 1], None, 0.5, 3, 15, 3, 5, 1.2, 0
+            )
+            rad = np.sqrt((flow**2).sum(-1)).reshape(-1)
+            k = max(1, int(rad.size * 0.05))
+            score = np.sort(rad)[-k:].mean()
+            moving += score > thr
+        dynamic += moving >= count_threshold
+    return float(dynamic / B)
 
 
 class VBenchQuality:
