@@ -83,7 +83,9 @@ class DifferenceDFoTVideoAlgo(DFoTVideoAlgo):
                 "xs_loss": jnp.mean(jax.lax.stop_gradient(xs_loss) * w1),
             }
 
-        @jax.jit
+        import functools
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state, batch, rng):
             (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, batch["xs"], batch.get("conditions"), batch["masks"], rng

@@ -94,6 +94,9 @@ def _tiny_setup():
 def test_train_step_updates_params_and_ema():
     model_apply, params, dcfg, sched, nl_cfg = _tiny_setup()
     tx = make_optimizer(lr=1e-2, num_warmup_steps=0, lr_schedule_name="constant")
+    # train_step donates the state, invalidating the original buffers ->
+    # snapshot init params on host before stepping
+    init = jax.tree_util.tree_map(np.asarray, params)
     state = create_train_state(params, tx, use_ema=True)
     step = make_train_step(model_apply, dcfg, sched, nl_cfg, ema_decay=0.5)
     batch = {
@@ -107,11 +110,11 @@ def test_train_step_updates_params_and_ema():
     assert int(state.step) == 3
     assert all(np.isfinite(losses))
     # params moved away from init
-    d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()), state.params, params)
+    d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()), state.params, init)
     assert max(jax.tree_util.tree_leaves(d)) > 0
     # EMA trails params but also moved
     de = jax.tree_util.tree_map(
-        lambda a, b: float(jnp.abs(a - b).max()), state.ema_params, params
+        lambda a, b: float(jnp.abs(a - b).max()), state.ema_params, init
     )
     assert max(jax.tree_util.tree_leaves(de)) > 0
 
