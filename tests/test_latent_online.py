@@ -11,13 +11,13 @@ OVERRIDES = [
     "dataset=kinetics_600",  # latent.type=online
     "algorithm=dfot_video",
     "experiment=video_generation",
-    "dataset.resolution=16",
+    "dataset.resolution=8",
     "dataset.max_frames=5",   # 1 + 4k frames -> 2 tokens at temporal factor 4
     "dataset.n_frames=5",
     "dataset.context_length=1",
     "++experiment.training.data.num_workers=0",
     "++dataset.latent.num_channels=4",
-    "dataset.latent.downsampling_factor=[4,8]",
+    "dataset.latent.downsampling_factor=[4,4]",
     "dataset.data_mean=null",
     "dataset.data_std=null",
     "++algorithm.vae.hidden_size=32",
@@ -43,7 +43,7 @@ def test_online_latent_training_and_validation(tmp_path):
 
     exp = cli.run(OVERRIDES + [f"output_dir={tmp_path}", "experiment.tasks=[training]"])
     assert int(exp.state.step) == 2
-    # token shape check: 5 frames -> 2 tokens, 16px -> 2x2 latents
+    # token shape check: 5 frames -> 2 tokens, 8px -> 2x2 latents
     assert exp.algo.x_shape == (2, 2, 4)
     assert exp.algo.max_tokens == 2
 
