@@ -351,9 +351,10 @@ class DFoTVideoAlgo:
 
         return eval_loss
 
-    def make_train_step(self, ema_decay: float = 0.9999):
+    def make_train_step(self, ema_decay: float = 0.9999, accumulate_steps: int = 1):
         return make_train_step(
-            self._train_apply, self.dcfg, self.sched, self.nl_cfg, ema_decay
+            self._train_apply, self.dcfg, self.sched, self.nl_cfg, ema_decay,
+            accumulate_steps=accumulate_steps,
         )
 
     # ------------------------------------------------------------------

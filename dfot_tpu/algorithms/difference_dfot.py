@@ -19,7 +19,7 @@ from ..diffusion import core as dc
 from ..diffusion.continuous import continuous_training_fields, continuous_v_loss
 from ..guidance.history_guidance import HistoryGuidance
 from ..training.noise_levels import training_noise_levels
-from ..training.state import ema_update
+from ..training.state import gated_ema_update
 from ..training.trainer import optax_global_norm
 from .dfot_video import DFoTVideoAlgo
 
@@ -47,7 +47,7 @@ class DifferenceDFoTVideoAlgo(DFoTVideoAlgo):
         return y[:, :, 0], y[:, :, 1]
 
     # -- training ----------------------------------------------------------
-    def make_train_step(self, ema_decay: float = 0.9999):
+    def make_train_step(self, ema_decay: float = 0.9999, accumulate_steps: int = 1):
         sched, dcfg, nl_cfg = self.sched, self.dcfg, self.nl_cfg
         model_apply = self._train_apply
         merge, unmerge = self.merge, self.unmerge
@@ -94,7 +94,10 @@ class DifferenceDFoTVideoAlgo(DFoTVideoAlgo):
             state = state.apply_gradients(grads)
             if state.ema_params is not None:
                 state = state.replace(
-                    ema_params=ema_update(state.ema_params, state.params, ema_decay)
+                    ema_params=gated_ema_update(
+                        state.ema_params, state.params, ema_decay,
+                        state.step, accumulate_steps,
+                    )
                 )
             return state, {"loss": loss, "grad_norm": gn, **parts}
 

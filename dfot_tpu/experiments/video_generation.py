@@ -144,7 +144,8 @@ class VideoGenerationExperiment:
             grad_clip=tcfg.optim.get("gradient_clip_val", 1.0) or 0.0,
         )
         train_step = algo.make_train_step(
-            ema_decay=cfg.experiment.ema.get("decay", 0.9999)
+            ema_decay=cfg.experiment.ema.get("decay", 0.9999),
+            accumulate_steps=accumulate,
         )
 
         # resume

@@ -8,6 +8,7 @@ sync_global_devices. jax.distributed.initialize() wires a TPU pod slice.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax
@@ -15,6 +16,7 @@ import numpy as np
 
 __all__ = [
     "initialize",
+    "detect_multiprocess_env",
     "is_rank_zero",
     "rank_zero_print",
     "barrier",
@@ -22,12 +24,63 @@ __all__ = [
     "broadcast_from_zero",
 ]
 
+_initialized = False
 
-def initialize(coordinator_address: Optional[str] = None, **kwargs) -> None:
-    """Initialize multi-host JAX (no-op on a single process)."""
-    if jax.process_count() > 1 or coordinator_address is None:
+
+def detect_multiprocess_env() -> bool:
+    """True when env vars indicate a multi-process launch — WITHOUT touching
+    the jax backend (any backend query would lock in a single-process
+    runtime before jax.distributed.initialize can run)."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    ):
+        return True
+    # SLURM multi-task job (jax's cluster auto-detection handles the rest)
+    try:
+        if int(os.environ.get("SLURM_NTASKS", "1")) > 1:
+            return True
+    except ValueError:
+        pass
+    # Cloud TPU pod slice: multiple workers per slice
+    try:
+        if int(os.environ.get("TPU_WORKER_ID", "-1")) >= 0 and (
+            "TPU_WORKER_HOSTNAMES" in os.environ
+            or int(os.environ.get("TPU_NUM_WORKERS", "1")) > 1
+        ):
+            return True
+    except ValueError:
+        pass
+    return False
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    **kwargs,
+) -> None:
+    """Wire up multi-host JAX. Must run BEFORE any backend query
+    (``jax.devices()`` / ``jax.process_count()``) — querying first initializes
+    a single-process backend and multi-host training silently degrades into N
+    independent jobs. Detection therefore uses env vars only.
+
+    No-op when neither an explicit coordinator nor a multi-process
+    environment (SLURM, TPU pod) is detected, and idempotent on repeat calls.
+    jax.distributed.initialize auto-fills coordinator/rank from its cluster
+    plugins (SLURM, Cloud TPU) when args are None.
+    """
+    global _initialized
+    if _initialized:
         return
-    jax.distributed.initialize(coordinator_address=coordinator_address, **kwargs)
+    if coordinator_address is None and not detect_multiprocess_env():
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        **kwargs,
+    )
+    _initialized = True
 
 
 def is_rank_zero() -> bool:

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-__all__ = ["TrainState", "create_train_state", "ema_update"]
+__all__ = ["TrainState", "create_train_state", "ema_update", "gated_ema_update"]
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -49,4 +49,21 @@ def ema_update(ema_params, params, decay: float):
     """shadow <- decay * shadow + (1 - decay) * params."""
     return jax.tree_util.tree_map(
         lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay), ema_params, params
+    )
+
+
+def gated_ema_update(ema_params, params, decay: float, step, accumulate_steps: int = 1):
+    """EMA update applied once per OPTIMIZER step under gradient accumulation.
+
+    ``step`` is the post-increment micro-step counter; with optax.MultiSteps
+    params only change on micro-steps k, 2k, ... — the reference steps EMA
+    right after optimizer.step (simple_video_generation.py:307-309), so we
+    keep the shadow unchanged on the intermediate micro-steps.
+    """
+    decayed = ema_update(ema_params, params, decay)
+    if accumulate_steps <= 1:
+        return decayed
+    did_update = (step % accumulate_steps) == 0
+    return jax.tree_util.tree_map(
+        lambda d, e: jnp.where(did_update, d, e), decayed, ema_params
     )

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..diffusion import core as dc
 from ..diffusion.continuous import continuous_training_fields, continuous_v_loss
 from .noise_levels import NoiseLevelConfig, training_noise_levels
-from .state import TrainState, ema_update
+from .state import TrainState, gated_ema_update
 
 __all__ = ["make_train_step"]
 
@@ -31,6 +31,7 @@ def make_train_step(
     nl_cfg: NoiseLevelConfig,
     ema_decay: float = 0.9999,
     compute_dtype=jnp.float32,
+    accumulate_steps: int = 1,
 ):
     """Build train_step(state, batch, rng) -> (state, metrics).
 
@@ -101,7 +102,10 @@ def make_train_step(
         state = state.apply_gradients(grads)
         if state.ema_params is not None:
             state = state.replace(
-                ema_params=ema_update(state.ema_params, state.params, ema_decay)
+                ema_params=gated_ema_update(
+                    state.ema_params, state.params, ema_decay,
+                    state.step, accumulate_steps,
+                )
             )
         return state, {"loss": loss, "grad_norm": grad_norm}
 

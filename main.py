@@ -24,6 +24,13 @@ def run(argv):
     # sweeps, requeued jobs) skip the multi-minute compiles
     import jax
 
+    # multi-host wiring must happen before ANY backend query (reference gets
+    # this from Accelerate's init_process_group, simple_video_generation.py
+    # :153-158); no-op for single-process launches
+    from dfot_tpu.parallel.multihost import initialize as _mh_init
+
+    _mh_init()
+
     if not os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         # XLA:CPU AOT cache entries are machine-feature-sensitive (reload
         # warnings / potential SIGILL); cache only device compiles

@@ -119,6 +119,46 @@ def test_train_step_updates_params_and_ema():
     assert max(jax.tree_util.tree_leaves(de)) > 0
 
 
+def test_ema_steps_once_per_optimizer_step_under_accumulation():
+    """With MultiSteps(k), EMA must decay only when params actually update
+    (reference steps EMA after optimizer.step, simple_video_generation.py
+    :307-309); per-micro-step decay would shrink the horizon by k."""
+    model_apply, params, dcfg, sched, nl_cfg = _tiny_setup()
+    k_acc = 4
+    tx = make_optimizer(
+        lr=1e-2, num_warmup_steps=0, lr_schedule_name="constant",
+        accumulate_steps=k_acc,
+    )
+    init = jax.tree_util.tree_map(np.asarray, params)
+    state = create_train_state(params, tx, use_ema=True)
+    step = make_train_step(
+        model_apply, dcfg, sched, nl_cfg, ema_decay=0.5, accumulate_steps=k_acc
+    )
+    batch = {
+        "xs": jnp.ones((2, 2, 4, 4, 1)) * 0.3,
+        "masks": jnp.ones((2, 2), bool),
+    }
+    # 3 micro-steps: no optimizer update yet -> EMA must equal init exactly
+    for i in range(k_acc - 1):
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+        d = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), state.ema_params, init
+        )
+        assert max(jax.tree_util.tree_leaves(d)) == 0.0
+        dp = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), state.params, init
+        )
+        assert max(jax.tree_util.tree_leaves(dp)) == 0.0  # MultiSteps holds params
+    # 4th micro-step: optimizer updates, EMA takes exactly ONE decay step
+    state, _ = step(state, batch, jax.random.PRNGKey(99))
+    flat_p = jax.tree_util.tree_leaves(state.params)
+    flat_e = jax.tree_util.tree_leaves(state.ema_params)
+    flat_i = jax.tree_util.tree_leaves(init)
+    expected = [0.5 * i0 + 0.5 * np.asarray(p) for i0, p in zip(flat_i, flat_p)]
+    for e, exp in zip(flat_e, expected):
+        np.testing.assert_allclose(np.asarray(e), exp, rtol=1e-6, atol=1e-7)
+
+
 def test_param_sharding_rule():
     from jax.sharding import PartitionSpec as P
 
