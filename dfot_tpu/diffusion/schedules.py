@@ -74,8 +74,16 @@ def sigmoid_schedule(
     def _sig(v):
         return 1.0 / (1.0 + np.exp(-v))
 
+    def _sig32(v):
+        # the reference evaluates the endpoint sigmoids at FLOAT32 precision
+        # (torch.tensor(python_float) defaults to fp32, noise_schedule.py:
+        # 112-113); replicate exactly or the terminal betas drift by ~3e-4
+        # after the zero-terminal-SNR rescale
+        v32 = np.float32(v)
+        return np.float64(np.float32(1.0) / (np.float32(1.0) + np.exp(-v32, dtype=np.float32)))
+
     t = np.linspace(0, timesteps, timesteps + 1, dtype=np.float64) / timesteps
-    v_start, v_end = _sig(start / tau), _sig(end / tau)
+    v_start, v_end = _sig32(start / tau), _sig32(end / tau)
     ac = (-_sig((t * (end - start) + start) / tau) + v_end) / (v_end - v_start)
     ac = ac / ac[0]
     return ac[1:]

@@ -123,16 +123,20 @@ class DiTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, c: jax.Array) -> jax.Array:
+        # NOTE: the reference block REPLACES the residual stream with the
+        # AdaLN-normed tensor: `x, gate = norm1(x, c); x = x + gate*attn(x)`
+        # (dit_blocks.py:505-510) — i.e. the skip adds to modulate(ln(x)),
+        # NOT to the block input. Checkpoint parity requires matching this.
         ln = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype)
         shift, scale, gate = AdaModulation(self.dim, 3, self.dtype, name="mod_attn")(c)
         h = modulate(ln(x), shift, scale)
-        x = x + gate * Attention(
+        x = h + gate * Attention(
             self.dim, self.num_heads, self.rope, self.causal, self.dtype, name="attn"
         )(h)
         if self.mlp_ratio is not None and self.mlp_ratio > 0:
             shift2, scale2, gate2 = AdaModulation(self.dim, 3, self.dtype, name="mod_mlp")(c)
             h = modulate(ln(x), shift2, scale2)
-            x = x + gate2 * Mlp(
+            x = h + gate2 * Mlp(
                 self.dim, int(self.dim * self.mlp_ratio), self.dtype, name="mlp"
             )(h)
         return x
@@ -264,11 +268,17 @@ class DiTBase(nn.Module):
         if s.variant == "full_matrix_attention":
             self.blocks = [matrix_block(f"block_{i}") for i in range(s.depth)]
         else:
+            # NOTE: the reference passes spatial_mlp_ratio (None unless
+            # configured -> NO MLP) to these blocks for every non-matrix
+            # variant INCLUDING "full" (dit_base.py:180-194, where even the
+            # full variant's blocks receive self.spatial_mlp_ratio); only the
+            # temporal blocks of factorized variants get mlp_ratio. Matching
+            # this exactly is required for checkpoint parity.
             self.blocks = [
                 block(
                     s.hidden_size,
                     s.num_heads,
-                    s.spatial_mlp_ratio if s.variant != "full" else s.mlp_ratio,
+                    s.spatial_mlp_ratio,
                     spatial_rope,
                     s.causal and s.variant == "full",
                     self.dtype,

@@ -53,9 +53,13 @@ def timestep_embedding(
     sin/cos flip.
     """
     half = dim // 2
-    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    # freqs are static: compute in float64 on host (numpy) and embed as an
+    # fp32 device constant. Device-side fp32 exp differs from libm by ~1ulp,
+    # which multiplied by t<=1000 would shift the sin/cos args by ~1e-3 —
+    # enough to break torch-checkpoint forward parity at 1e-4.
+    exponent = -math.log(max_period) * np.arange(half, dtype=np.float64)
     exponent = exponent / (half - downscale_freq_shift)
-    freqs = jnp.exp(exponent)
+    freqs = jnp.asarray(np.exp(exponent).astype(np.float32))
     emb = t.astype(jnp.float32)[..., None] * freqs
     emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
     if flip_sin_to_cos:

@@ -126,10 +126,12 @@ class MatrixDiTBlock(nn.Module):
 
         B, TP, C = x.shape
         T = TP // self.col_hidden_size
+        # like the reference DiTBlock, the residual adds onto the AdaLN-normed
+        # tensor, not the block input (dit_blocks.py:643-650)
         ln = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype)
         shift, scale, gate = AdaModulation(C, 3, self.dtype, name="mod_attn")(c)
         h = modulate(ln(x), shift, scale)
-        h = MatrixAttention(
+        attn_out = MatrixAttention(
             col_dim=self.col_hidden_size,
             row_dim=self.row_hidden_size,
             embed_col_dim=self.embed_col_dim,
@@ -144,9 +146,9 @@ class MatrixDiTBlock(nn.Module):
             dtype=self.dtype,
             name="attn",
         )(h.reshape(B, T, self.col_hidden_size, C)).reshape(B, TP, C)
-        x = x + gate * h
+        x = h + gate * attn_out
         if self.mlp_ratio is not None and self.mlp_ratio > 0:
             shift2, scale2, gate2 = AdaModulation(C, 3, self.dtype, name="mod_mlp")(c)
             h = modulate(ln(x), shift2, scale2)
-            x = x + gate2 * Mlp(C, int(C * self.mlp_ratio), self.dtype, name="mlp")(h)
+            x = h + gate2 * Mlp(C, int(C * self.mlp_ratio), self.dtype, name="mlp")(h)
         return x

@@ -1,0 +1,507 @@
+"""End-to-end numerical parity vs the ACTUAL reference torch modules.
+
+The reference source is mounted at /root/reference and torch-CPU is
+installed; the missing pip deps (omegaconf/timm/diffusers/
+rotary_embedding_torch) are provided as faithful stubs
+(tests/reference_stubs.py). Each test:
+
+1. instantiates the real reference module with RANDOM weights,
+2. exports its state_dict through our torch-checkpoint importer
+   (dfot_tpu/utils/torch_ckpt.py),
+3. runs both implementations on identical inputs,
+4. asserts forward outputs agree to <= 1e-4.
+
+This is the zero-egress route to the BASELINE north-star claim "load
+DFoT_RE10K.ckpt and reproduce samples within tolerance": any drift in
+layouts, chunk ordering, RoPE conventions, or norm placement fails here.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from reference_stubs import load_reference_module  # noqa: E402
+
+from dfot_tpu.utils.torch_ckpt import (  # noqa: E402
+    import_dit3d_params,
+    import_uvit3d_params,
+)
+
+
+def _to_np(state_dict):
+    return {k: v.detach().cpu().numpy().astype(np.float32) for k, v in state_dict.items()}
+
+
+def _randomize(module: "torch.nn.Module", seed: int = 0) -> None:
+    """Replace every param/buffer with non-degenerate random values so zero-init
+    layers (AdaLN modulations, final projections) exercise real compute."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in module.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+
+
+# ---------------------------------------------------------------------------
+# DiT3D
+# ---------------------------------------------------------------------------
+
+
+def _make_ref_dit3d(variant: str, pos_emb_type: str, T: int = 4,
+                    spatial_mlp_ratio=None):
+    dit3d = load_reference_module("refalg.dfot.backbones.dit.dit3d")
+    from omegaconf import DictConfig  # the stub
+
+    d = dict(
+        patch_size=2,
+        variant=variant,
+        pos_emb_type=pos_emb_type,
+        hidden_size=64,
+        depth=2,
+        num_heads=4,
+        mlp_ratio=2.0,
+        use_gradient_checkpointing=False,
+    )
+    if spatial_mlp_ratio is not None:
+        d["spatial_mlp_ratio"] = spatial_mlp_ratio
+    cfg = DictConfig(d)
+    ref = dit3d.DiT3D(
+        cfg,
+        x_shape=torch.Size([3, 8, 8]),
+        max_tokens=T,
+        external_cond_type="action",
+        external_cond_num_classes=None,
+        external_cond_dim=0,
+        use_causal_mask=False,
+    )
+    ref.eval()
+    _randomize(ref)
+    return ref
+
+
+def _our_dit3d(variant: str, pos_emb_type: str, T: int = 4,
+               spatial_mlp_ratio=None):
+    from dfot_tpu.models.dit import DiT3D, DiTSpec
+
+    spec = DiTSpec(
+        hidden_size=64,
+        depth=2,
+        num_heads=4,
+        mlp_ratio=2.0,
+        spatial_mlp_ratio=spatial_mlp_ratio,
+        variant=variant,
+        pos_emb_type=pos_emb_type,
+        patch_size=2,
+        max_temporal_length=T,
+    )
+    return DiT3D(spec=spec, x_channels=3, resolution=(8, 8))
+
+
+@pytest.mark.parametrize(
+    "variant,pos_emb_type,spatial_mlp_ratio",
+    [
+        ("full", "rope_3d", None),  # reference full blocks have NO MLP
+        ("full", "rope_3d", 2.0),
+        ("full", "learned_1d", None),
+        ("factorized_attention", "learned_1d", 2.0),
+    ],
+)
+def test_dit3d_forward_parity(variant, pos_emb_type, spatial_mlp_ratio):
+    B, T = 2, 4
+    ref = _make_ref_dit3d(variant, pos_emb_type, T, spatial_mlp_ratio)
+    ours = _our_dit3d(variant, pos_emb_type, T, spatial_mlp_ratio)
+
+    params = import_dit3d_params(_to_np(ref.state_dict()))
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(B, T, 3, 8, 8).astype(np.float32)
+    k = rng.randint(0, 1000, size=(B, T)).astype(np.int64)
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x), torch.from_numpy(k)).numpy()
+
+    x_cl = np.transpose(x, (0, 1, 3, 4, 2))  # (B, T, H, W, C)
+    out = ours.apply({"params": params}, jnp.asarray(x_cl), jnp.asarray(k, jnp.float32))
+    out = np.transpose(np.asarray(out), (0, 1, 4, 2, 3))
+
+    np.testing.assert_allclose(out, ref_out, atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# UViT3D / UViT3DPose
+# ---------------------------------------------------------------------------
+
+
+def _uvit_cfgs(pose: bool):
+    """Tiny 2-level U-ViT mirroring the DFoT_RE10K architecture shape
+    (reference configurations/algorithm/backbone/u_vit3d_pose.yaml)."""
+    from omegaconf import DictConfig
+
+    cfg = DictConfig(
+        dict(
+            patch_size=2,
+            channels=[32, 64],
+            emb_channels=64,
+            num_updown_blocks=[2],
+            num_mid_blocks=2,
+            num_heads=4,
+            pos_emb_type="rope",
+            use_checkpointing=[False, False],
+            block_types=["ResBlock", "TransformerBlock"],
+            block_dropouts=[0.0, 0.0],
+            temporal_length=4,
+            external_cond_dropout=0.1,
+            conditioning=dict(dim=6),  # UViT3DPose reads cfg.conditioning.dim
+        )
+    )
+    return cfg
+
+
+def _our_uvit_spec():
+    from dfot_tpu.models.uvit import UViTSpec
+
+    return UViTSpec(
+        channels=(32, 64),
+        emb_channels=64,
+        patch_size=2,
+        num_updown_blocks=(2,),
+        num_mid_blocks=2,
+        num_heads=4,
+        pos_emb_type="rope",
+        block_types=("ResBlock", "TransformerBlock"),
+        block_dropouts=(0.0, 0.0),
+        use_checkpointing=(False, False),
+        max_temporal_length=4,
+    )
+
+
+def test_uvit3d_forward_parity():
+    uvit3d = load_reference_module("refalg.dfot.backbones.u_vit.u_vit3d")
+    B, T, H = 2, 4, 8
+    ref = uvit3d.UViT3D(
+        _uvit_cfgs(pose=False),
+        x_shape=torch.Size([3, H, H]),
+        max_tokens=T,
+        external_cond_dim=0,
+        use_causal_mask=False,
+    )
+    ref.eval()
+    _randomize(ref, seed=1)
+
+    from dfot_tpu.models.uvit import UViT3D as OurUViT3D
+
+    ours = OurUViT3D(spec=_our_uvit_spec(), x_channels=3, resolution=H)
+    params = import_uvit3d_params(
+        _to_np(ref.state_dict()), num_updown_blocks=(2,), num_levels=2, patch_size=2
+    )
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(B, T, 3, H, H).astype(np.float32)
+    k = rng.randint(0, 1000, size=(B, T)).astype(np.int64)
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x), torch.from_numpy(k)).numpy()
+
+    x_cl = np.transpose(x, (0, 1, 3, 4, 2))
+    out = ours.apply({"params": params}, jnp.asarray(x_cl), jnp.asarray(k, jnp.float32))
+    out = np.transpose(np.asarray(out), (0, 1, 4, 2, 3))
+
+    np.testing.assert_allclose(out, ref_out, atol=1e-4, rtol=1e-4)
+
+
+def test_uvit3d_pose_forward_parity():
+    """The DFoT_RE10K checkpoint architecture (pose-conditioned U-ViT)."""
+    uvit3d_pose = load_reference_module("refalg.dfot.backbones.u_vit.u_vit3d_pose")
+    B, T, H, PD = 2, 4, 8, 6  # PD = pose channels (e.g. Pluecker = 6)
+    ref = uvit3d_pose.UViT3DPose(
+        cfg=_uvit_cfgs(pose=True),
+        x_shape=torch.Size([3, H, H]),
+        max_tokens=T,
+        external_cond_dim=PD,
+        use_causal_mask=False,
+    )
+    ref.eval()
+    _randomize(ref, seed=3)
+
+    from dfot_tpu.models.uvit import UViT3DPose as OurUViT3DPose
+
+    ours = OurUViT3DPose(
+        spec=_our_uvit_spec(),
+        x_channels=3,
+        resolution=H,
+        external_cond_dim=PD,
+        external_cond_dropout=0.1,
+    )
+    params = import_uvit3d_params(
+        _to_np(ref.state_dict()), num_updown_blocks=(2,), num_levels=2, patch_size=2
+    )
+
+    rng = np.random.RandomState(4)
+    x = rng.randn(B, T, 3, H, H).astype(np.float32)
+    pose = rng.randn(B, T, PD, H, H).astype(np.float32)
+    k = rng.randint(0, 1000, size=(B, T)).astype(np.int64)
+
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(x), torch.from_numpy(k), torch.from_numpy(pose)
+        ).numpy()
+
+    x_cl = np.transpose(x, (0, 1, 3, 4, 2))
+    pose_cl = np.transpose(pose, (0, 1, 3, 4, 2))
+    out = ours.apply(
+        {"params": params},
+        jnp.asarray(x_cl),
+        jnp.asarray(k, jnp.float32),
+        jnp.asarray(pose_cl),
+    )
+    out = np.transpose(np.asarray(out), (0, 1, 4, 2, 3))
+
+    np.testing.assert_allclose(out, ref_out, atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Diffusion core: schedules / loss weights / DDIM step
+# ---------------------------------------------------------------------------
+
+
+def _make_ref_diffusion(objective="pred_v", strategy="fused_min_snr",
+                        use_causal=False):
+    dd = load_reference_module("refalg.dfot.diffusion.discrete_diffusion")
+    from omegaconf import DictConfig
+
+    cfg = DictConfig(
+        dict(
+            timesteps=100,
+            sampling_timesteps=10,
+            beta_schedule="cosine",
+            schedule_fn_kwargs={},
+            objective=objective,
+            loss_weighting=dict(
+                strategy=strategy, snr_clip=5.0, cum_snr_decay=0.9,
+                sigmoid_bias=-1.0,
+            ),
+            ddim_sampling_eta=0.0,
+            clip_noise=20.0,
+            use_causal_mask=False,
+        )
+    )
+    backbone_cfg = DictConfig(
+        dict(
+            name="dit3d",
+            patch_size=2,
+            variant="full",
+            pos_emb_type="rope_3d",
+            hidden_size=32,
+            depth=1,
+            num_heads=2,
+            mlp_ratio=2.0,
+            use_gradient_checkpointing=False,
+        )
+    )
+    ref = dd.DiscreteDiffusion(
+        cfg,
+        backbone_cfg,
+        x_shape=torch.Size([2, 8, 8]),
+        max_tokens=4,
+        external_cond_type="action",
+        external_cond_num_classes=None,
+        external_cond_dim=0,
+    )
+    ref.eval()
+    _randomize(ref, seed=7)
+    # the causal flag only affects fused-min-SNR direction, not the backbone
+    ref.use_causal_mask = use_causal
+    return ref
+
+
+def _our_dcfg(objective="pred_v", strategy="fused_min_snr", use_causal=False):
+    from dfot_tpu.diffusion import DiffusionConfig
+
+    return DiffusionConfig(
+        timesteps=100,
+        sampling_timesteps=10,
+        objective=objective,
+        beta_schedule="cosine",
+        loss_weighting_strategy=strategy,
+        snr_clip=5.0,
+        cum_snr_decay=0.9,
+        sigmoid_bias=-1.0,
+        ddim_sampling_eta=0.0,
+        clip_noise=20.0,
+        use_causal_mask=use_causal,
+    )
+
+
+@pytest.mark.parametrize(
+    "schedule,kwargs",
+    [
+        ("cosine", {}),
+        ("sigmoid", {}),
+        ("sd", {}),
+        ("linear", {}),
+        ("alphas_cumprod_linear", {}),
+        ("cosine_simple_diffusion", dict(shifted=0.125, interpolated=False)),
+    ],
+)
+@pytest.mark.parametrize("zero_terminal_snr", [True, False])
+def test_beta_schedule_parity(schedule, kwargs, zero_terminal_snr):
+    ref_ns = load_reference_module("refalg.dfot.diffusion.noise_schedule")
+    from dfot_tpu.diffusion.schedules import make_beta_schedule
+
+    ref = ref_ns.make_beta_schedule(
+        schedule=schedule, timesteps=50, zero_terminal_snr=zero_terminal_snr,
+        **kwargs,
+    )
+    ours = make_beta_schedule(
+        schedule=schedule, timesteps=50, zero_terminal_snr=zero_terminal_snr,
+        **kwargs,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-6, rtol=1e-5)
+
+
+def test_schedule_buffers_parity():
+    from dfot_tpu.diffusion import make_schedule
+
+    ref = _make_ref_diffusion()
+    sched = make_schedule(_our_dcfg())
+    for name in (
+        "betas", "alphas_cumprod", "alphas_cumprod_prev", "sqrt_alphas_cumprod",
+        "sqrt_one_minus_alphas_cumprod", "sqrt_recip_alphas_cumprod",
+        "sqrt_recipm1_alphas_cumprod", "posterior_variance",
+        "posterior_log_variance_clipped", "posterior_mean_coef1",
+        "posterior_mean_coef2", "snr", "clipped_snr",
+    ):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sched, name)),
+            getattr(ref, name).numpy(),
+            atol=1e-5,
+            rtol=1e-4,
+            err_msg=name,
+        )
+
+
+@pytest.mark.parametrize("objective", ["pred_noise", "pred_x0", "pred_v"])
+@pytest.mark.parametrize(
+    "strategy", ["uniform", "sigmoid", "min_snr", "fused_min_snr"]
+)
+@pytest.mark.parametrize("use_causal", [False, True])
+def test_loss_weights_parity(objective, strategy, use_causal):
+    from dfot_tpu.diffusion import core as dc
+    from dfot_tpu.diffusion import make_schedule
+
+    ref = _make_ref_diffusion(objective, strategy, use_causal)
+    # reference reads objective off self at weight time
+    ref.objective = objective
+    dcfg = _our_dcfg(objective, strategy, use_causal)
+    sched = make_schedule(dcfg)
+
+    k = np.random.RandomState(11).randint(0, 100, size=(3, 8))
+    with torch.no_grad():
+        ref_w = ref.compute_loss_weights(torch.from_numpy(k), strategy)
+        ref_w = ref_w.float().numpy()
+    ours = np.asarray(dc.compute_loss_weights(sched, dcfg, jnp.asarray(k)))
+    np.testing.assert_allclose(ours, ref_w, atol=1e-5, rtol=1e-4)
+
+
+def test_ddim_idx_to_noise_level_parity():
+    from dfot_tpu.diffusion.core import ddim_idx_to_noise_level
+
+    ref = _make_ref_diffusion()
+    idx = np.arange(11).reshape(1, -1)
+    ref_k = ref.ddim_idx_to_noise_level(torch.from_numpy(idx)).numpy()
+    ours = ddim_idx_to_noise_level(100, 10, idx)
+    np.testing.assert_array_equal(np.asarray(ours), ref_k)
+
+
+def test_q_sample_parity():
+    from dfot_tpu.diffusion import core as dc
+    from dfot_tpu.diffusion import make_schedule
+
+    ref = _make_ref_diffusion()
+    sched = make_schedule(_our_dcfg())
+    rng = np.random.RandomState(5)
+    x = rng.randn(2, 4, 2, 8, 8).astype(np.float32)
+    noise = rng.randn(*x.shape).astype(np.float32)
+    k = rng.randint(0, 100, size=(2, 4))
+    with torch.no_grad():
+        ref_q = ref.q_sample(
+            torch.from_numpy(x), torch.from_numpy(k), torch.from_numpy(noise)
+        ).numpy()
+    ours = np.asarray(
+        dc.q_sample(sched, jnp.asarray(x), jnp.asarray(k), jnp.asarray(noise))
+    )
+    np.testing.assert_allclose(ours, ref_q, atol=1e-5, rtol=1e-4)
+
+    # re-noising for go-back sampling (q_sample_from_x_k)
+    k_next = np.minimum(k + rng.randint(0, 30, size=k.shape), 99)
+    with torch.no_grad():
+        ref_r = ref.q_sample_from_x_k(
+            torch.from_numpy(x), torch.from_numpy(k), torch.from_numpy(k_next),
+            torch.from_numpy(noise),
+        ).numpy()
+    # the reference hardcodes the ==999 guard (written for timesteps=1000);
+    # pass timesteps=1000 so our parametrized guard matches it
+    ours_r = np.asarray(
+        dc.q_sample_from_x_k(
+            sched, 1000, jnp.asarray(x), jnp.asarray(k), jnp.asarray(k_next),
+            jnp.asarray(noise),
+        )
+    )
+    np.testing.assert_allclose(ours_r, ref_r, atol=1e-5, rtol=1e-4)
+
+
+def test_ddim_sample_step_parity():
+    """Full network-in-the-loop DDIM step (eta=0) with per-token levels,
+    including frozen (curr==next) and fully-denoised (next=-1) tokens
+    (reference discrete_diffusion.py:454-538)."""
+    from dfot_tpu.diffusion import core as dc
+    from dfot_tpu.diffusion import make_schedule
+    from dfot_tpu.models.dit import DiT3D, DiTSpec
+
+    ref = _make_ref_diffusion()
+    dcfg = _our_dcfg()
+    sched = make_schedule(dcfg)
+
+    # our backbone with the reference's weights (strip the 'model.' prefix)
+    state = {
+        key[len("model."):]: val.detach().numpy().astype(np.float32)
+        for key, val in ref.state_dict().items()
+        if key.startswith("model.")
+    }
+    params = import_dit3d_params(state)
+    spec = DiTSpec(
+        hidden_size=32, depth=1, num_heads=2, mlp_ratio=2.0, variant="full",
+        pos_emb_type="rope_3d", patch_size=2, max_temporal_length=4,
+    )
+    model = DiT3D(spec=spec, x_channels=2, resolution=(8, 8))
+
+    rng = np.random.RandomState(6)
+    B, T = 2, 4
+    x = rng.randn(B, T, 2, 8, 8).astype(np.float32)
+    curr = np.array([[88, 55, 55, 0], [99, 88, 11, 11]], np.int64)
+    nxt = np.array([[55, 33, 55, -1], [88, 55, -1, 11]], np.int64)
+
+    with torch.no_grad():
+        ref_out = ref.ddim_sample_step(
+            torch.from_numpy(x), torch.from_numpy(curr), torch.from_numpy(nxt),
+            None,
+        ).numpy()
+
+    x_cl = jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))
+    kc = jnp.clip(jnp.asarray(curr), 0, None)
+    model_out = model.apply({"params": params}, x_cl, kc.astype(jnp.float32))
+    pred = dc.model_predictions(sched, dcfg, x_cl, kc, model_out)
+    out = dc.ddim_step(
+        sched, dcfg, x_cl, jnp.asarray(curr), jnp.asarray(nxt), pred,
+        jnp.zeros_like(x_cl),
+    )
+    out = np.transpose(np.asarray(out), (0, 1, 4, 2, 3))
+    np.testing.assert_allclose(out, ref_out, atol=1e-4, rtol=1e-4)

@@ -98,8 +98,11 @@ def _rand(shape):
 
 
 def test_import_dit3d_structural():
+    # spatial_mlp_ratio drives the MLPs of full-variant blocks (the reference
+    # full variant has none unless it is set, dit_base.py:189-194)
     spec = DiTSpec(
         hidden_size=64, depth=2, num_heads=2, mlp_ratio=2.0,
+        spatial_mlp_ratio=2.0,
         variant="full", pos_emb_type="rope_3d", patch_size=2, max_temporal_length=2,
     )
     model = DiT3D(spec=spec, x_channels=3, resolution=(8, 8))
