@@ -176,9 +176,13 @@ class DFoTVideoAlgo:
             from ..models.dit import DiT3D, DiTSpec
 
             spec = DiTSpec(
-                hidden_size=bcfg.hidden_size,
+                # matrix variants may leave hidden_size null; the effective
+                # width is embed_row_dim (reference dit3d.py hidden_size prop)
+                hidden_size=(
+                    bcfg.get("hidden_size") or bcfg.get("embed_row_dim")
+                ),
                 depth=bcfg.depth,
-                num_heads=bcfg.num_heads,
+                num_heads=bcfg.get("num_heads"),
                 mlp_ratio=bcfg.mlp_ratio,
                 spatial_mlp_ratio=bcfg.get("spatial_mlp_ratio"),
                 variant=bcfg.variant,
@@ -193,9 +197,9 @@ class DFoTVideoAlgo:
                 num_row_heads=bcfg.get("num_row_heads"),
                 matrix_multi_token=bcfg.get("matrix_multi_token") or False,
                 flatten_matrix_rope=bcfg.get("flatten_matrix_rope") or False,
-                matrix_use_bias=bcfg.get("use_bias", True),
+                matrix_use_bias=bcfg.get("use_bias") or False,
                 fixed_u=bcfg.get("fixed_u"),
-                use_temporal_rope=bcfg.get("use_temporal_rope", True),
+                use_temporal_rope=bcfg.get("use_temporal_rope", False),
                 double_rope_merge=(
                     bcfg.get("merge_type", "concat") if name == "difference_dit3d" else None
                 ),

@@ -186,9 +186,11 @@ class DiTSpec:
     num_row_heads: Optional[int] = None
     matrix_multi_token: bool = False
     flatten_matrix_rope: bool = False
-    matrix_use_bias: bool = True
+    matrix_use_bias: bool = False
     fixed_u: Optional[str] = None
-    use_temporal_rope: bool = True
+    # reference default is False (dit_base.py kwargs.get("use_temporal_rope",
+    # False)); configs enable it explicitly for factorized matrix attention
+    use_temporal_rope: bool = False
     # difference-DiT double RoPE (concat | interleaved | None)
     double_rope_merge: Optional[str] = None
 
@@ -210,26 +212,50 @@ class DiTBase(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
+        from .embeddings import get_nd_sincos_pos_embed
+
         s = self.spec
         self.rope = None
         self.pos_emb = None
-        head_dim = s.hidden_size // s.num_heads
+        self.pos_table = None          # (N, C) numpy, added once over (t p)
+        self.spatial_pos_table = None  # (P, C) numpy, added per frame
+        self.temporal_pos_table = None  # (T, C) numpy, added before 1st temporal block
         if s.pos_emb_type == "rope_3d":
             assert s.variant == "full", "rope_3d requires the full variant"
+            head_dim = s.hidden_size // s.num_heads
             self.rope = make_rope_3d(
                 head_dim,
                 (s.max_temporal_length,) + tuple(self.spatial_grid),
                 double_merge=s.double_rope_merge,
             )
         elif s.pos_emb_type == "rope_2d":
+            head_dim = s.hidden_size // s.num_heads
             self.rope = make_rope_2d(head_dim, tuple(self.spatial_grid))
         elif s.pos_emb_type == "learned_1d":
             max_tokens = s.max_temporal_length * (self.num_patches or 1)
             self.pos_emb = self.param(
                 "pos_emb", nn.initializers.normal(0.02), (1, max_tokens, s.hidden_size)
             )
-        elif s.pos_emb_type in ("sinusoidal_1d", "sinusoidal_factorized"):
-            pass  # built lazily in __call__ via numpy tables
+        elif s.pos_emb_type == "sinusoidal_1d":
+            max_tokens = s.max_temporal_length * (self.num_patches or 1)
+            self.pos_table = get_nd_sincos_pos_embed(s.hidden_size, (max_tokens,))
+        elif s.pos_emb_type == "sinusoidal_3d":
+            self.pos_table = get_nd_sincos_pos_embed(
+                s.hidden_size, (s.max_temporal_length,) + tuple(self.spatial_grid)
+            )
+        elif s.pos_emb_type == "sinusoidal_2d":
+            # spatial-only table, applied per frame (temporal position comes
+            # from the matrix blocks' rope1d; reference dit_base.py:355-362)
+            self.spatial_pos_table = get_nd_sincos_pos_embed(
+                s.hidden_size, tuple(self.spatial_grid)
+            )
+        elif s.pos_emb_type == "sinusoidal_factorized":
+            self.spatial_pos_table = get_nd_sincos_pos_embed(
+                s.hidden_size, tuple(self.spatial_grid)
+            )
+            self.temporal_pos_table = get_nd_sincos_pos_embed(
+                s.hidden_size, (s.max_temporal_length,)
+            )
         else:
             raise ValueError(f"unsupported pos_emb_type {s.pos_emb_type}")
 
@@ -346,11 +372,16 @@ class DiTBase(nn.Module):
 
         if self.pos_emb is not None:
             x = x + self.pos_emb[:, :N].astype(x.dtype)
-        elif s.pos_emb_type == "sinusoidal_1d":
-            pos = timestep_embedding(
-                jnp.arange(N, dtype=jnp.float32), s.hidden_size, flip_sin_to_cos=False
-            )
-            x = x + pos[None].astype(x.dtype)
+        elif self.pos_table is not None:  # sinusoidal_1d / sinusoidal_3d
+            x = x + jnp.asarray(self.pos_table[:N], x.dtype)[None]
+        if self.spatial_pos_table is not None:  # sinusoidal_2d / _factorized
+            sp = jnp.asarray(self.spatial_pos_table, x.dtype)  # (P, C)
+            x = (x.reshape(B, T, P, C) + sp).reshape(B, N, C)
+        if self.temporal_pos_table is not None and not self.is_factorized:
+            # full variant with factorized PE: temporal added immediately
+            # (reference dit_base.py:372-379)
+            tp = jnp.asarray(self.temporal_pos_table[:T], x.dtype)  # (T, C)
+            x = (x.reshape(B, T, P, C) + tp[:, None]).reshape(B, N, C)
 
         if not self.is_factorized:
             for block in self.blocks:
@@ -365,6 +396,13 @@ class DiTBase(nn.Module):
                 xs = x.reshape(B * T, P, C)
                 cs = c.reshape(B * T, P, C)
                 xs = block(xs, cs)
+                if i == 0 and self.temporal_pos_table is not None:
+                    # factorized PE: temporal table added once, after the
+                    # first spatial block (reference dit_base.py:399-421)
+                    tp = jnp.asarray(self.temporal_pos_table[:T], xs.dtype)
+                    xs = (
+                        xs.reshape(B, T, P, C) + tp[:, None]
+                    ).reshape(B * T, P, C)
                 if matrix_temporal:
                     x = self.temporal_blocks[i](xs.reshape(B, N, C), c)
                 else:

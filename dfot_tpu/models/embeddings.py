@@ -228,6 +228,30 @@ class PatchEmbed(nn.Module):
         )(x)
 
 
+def get_nd_sincos_pos_embed(embed_dim: int, shape: Sequence[int]) -> np.ndarray:
+    """N-D sinusoidal position table, (prod(shape), embed_dim) float32.
+
+    Matches the reference's get_nd_sincos_pos_embed (dit_base.py:528-573):
+    per-axis 1-D sin||cos tables of dim/ndim channels, concatenated — note
+    the reference builds its grid with np.meshgrid's default 'xy' indexing,
+    which swaps the first two axes; replicated here for table parity.
+    """
+    ndim = len(shape)
+    assert embed_dim % (2 * ndim) == 0
+    grid = np.meshgrid(*[np.arange(s, dtype=np.float32) for s in shape])
+    grid = np.stack(grid, axis=0)
+
+    def _1d(dim, pos):
+        omega = np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
+        omega = 1.0 / 10000**omega
+        out = np.einsum("m,d->md", pos.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    return np.concatenate(
+        [_1d(embed_dim // ndim, grid[i]) for i in range(ndim)], axis=1
+    ).astype(np.float32)
+
+
 # ---------------------------------------------------------------------------
 # Rotary position embeddings (axial, N-dimensional)
 # ---------------------------------------------------------------------------

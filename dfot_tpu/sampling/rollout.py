@@ -60,6 +60,9 @@ class DFoTRollout:
         self.cfg = cfg
         self.dcfg = dcfg
         self.sched = sched
+        # denoiser-eval accounting (B=1-equivalent forward passes) for
+        # auditable FLOPs/MFU reporting in bench.py
+        self.stats = {"denoiser_evals_b1": 0, "windows": 0}
         self._window_fn = make_window_sampler(
             model_apply,
             dcfg,
@@ -129,6 +132,9 @@ class DFoTRollout:
             is_full_sequence=cfg.is_full_sequence,
             refine=cfg.refinement,
         )
+        n_eval_rows = int(plan.num_steps - int(np.asarray(plan.renoise).sum()))
+        self.stats["denoiser_evals_b1"] += n_eval_rows * batch_size * plan.nfe
+        self.stats["windows"] += 1
         plan_dev = jax.tree_util.tree_map(jnp.asarray, plan)
         out = self._window_fn(
             variables,

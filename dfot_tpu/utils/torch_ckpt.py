@@ -223,6 +223,10 @@ def import_dit3d_params(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
          r"dit/temporal_block_\1/mlp/fc\2/kernel", linear_w),
         (r"dit_base\.temporal_blocks\.(\d+)\.mlp\.fc(\d)\.bias",
          r"dit/temporal_block_\1/mlp/fc\2/bias", _ID),
+        # matrix-attention blocks (MatrixDiTBlock, dit_blocks.py:549-650):
+        # qkv_u/qkv_v/proj_u/proj_v einsum factors share our exact layouts
+        (r"dit_base\.(temporal_)?blocks\.(\d+)\.attn\.(qkv_u|qkv_v|proj_u|proj_v|qkv_bias|proj_bias)",
+         r"dit/\1block_\2/attn/\3", _ID),
         # final layer
         (r"dit_base\.final_layer\.norm_final\.modulation\.1\.weight",
          r"dit/final_layer/mod/linear/kernel", linear_w),

@@ -136,6 +136,102 @@ def test_dit3d_forward_parity(variant, pos_emb_type, spatial_mlp_ratio):
 
 
 # ---------------------------------------------------------------------------
+# Matrix-attention DiT variants
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "variant,use_temporal_rope,multi_token,fixed_u",
+    [
+        ("full_matrix_attention", False, False, None),
+        ("full_matrix_attention", True, True, None),
+        ("factorized_matrix_attention", True, False, None),
+        ("factorized_matrix_attention", False, False, "identity"),
+    ],
+)
+def test_matrix_dit3d_forward_parity(variant, use_temporal_rope, multi_token,
+                                     fixed_u):
+    """Matrix attention variants (reference dit3d_full_matrix.yaml /
+    dit3d_factorized_matrix.yaml shapes, scaled down)."""
+    dit3d = load_reference_module("refalg.dfot.backbones.dit.dit3d")
+    from omegaconf import DictConfig
+
+    # fixed_u=identity keeps the col dim unembedded: the reference only
+    # supports it with embed_col_dim == num_patches (and no bias)
+    use_bias = fixed_u is None
+    embed_col_dim = 4 if fixed_u is None else 16  # num_patches = (8/2)^2 = 16
+    B, T = 2, 4
+    d = dict(
+        patch_size=2,
+        variant=variant,
+        pos_emb_type="sinusoidal_2d",
+        hidden_size=None if variant.startswith("factorized") else 64,
+        embed_col_dim=embed_col_dim,
+        embed_row_dim=64,
+        num_heads=4,
+        num_col_heads=2,
+        num_row_heads=4,
+        depth=2,
+        mlp_ratio=2.0,
+        spatial_mlp_ratio=2.0,
+        use_bias=use_bias,
+        matrix_block="matrix",
+        flatten_matrix_rope=False,
+        matrix_multi_token=multi_token,
+        fixed_u=fixed_u,
+        use_temporal_rope=use_temporal_rope,
+        use_gradient_checkpointing=False,
+    )
+    ref = dit3d.DiT3D(
+        DictConfig(d),
+        x_shape=torch.Size([3, 8, 8]),
+        max_tokens=T,
+        external_cond_type="action",
+        external_cond_num_classes=None,
+        external_cond_dim=0,
+        use_causal_mask=False,
+    )
+    ref.eval()
+    _randomize(ref, seed=9)
+
+    from dfot_tpu.models.dit import DiT3D, DiTSpec
+
+    spec = DiTSpec(
+        hidden_size=64,  # == embed_row_dim (reference hidden_size property)
+        depth=2,
+        num_heads=4,
+        mlp_ratio=2.0,
+        spatial_mlp_ratio=2.0,
+        variant=variant,
+        pos_emb_type="sinusoidal_2d",
+        patch_size=2,
+        max_temporal_length=T,
+        embed_col_dim=embed_col_dim,
+        embed_row_dim=64,
+        num_col_heads=2,
+        num_row_heads=4,
+        matrix_multi_token=multi_token,
+        flatten_matrix_rope=False,
+        matrix_use_bias=use_bias,
+        fixed_u=fixed_u,
+        use_temporal_rope=use_temporal_rope,
+    )
+    ours = DiT3D(spec=spec, x_channels=3, resolution=(8, 8))
+    params = import_dit3d_params(_to_np(ref.state_dict()))
+
+    rng = np.random.RandomState(10)
+    x = rng.randn(B, T, 3, 8, 8).astype(np.float32)
+    k = rng.randint(0, 1000, size=(B, T)).astype(np.int64)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x), torch.from_numpy(k)).numpy()
+
+    x_cl = np.transpose(x, (0, 1, 3, 4, 2))
+    out = ours.apply({"params": params}, jnp.asarray(x_cl), jnp.asarray(k, jnp.float32))
+    out = np.transpose(np.asarray(out), (0, 1, 4, 2, 3))
+    np.testing.assert_allclose(out, ref_out, atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
 # UViT3D / UViT3DPose
 # ---------------------------------------------------------------------------
 
