@@ -149,6 +149,7 @@ def main():
     ro = DFoTRollout(
         RolloutConfig(
             max_tokens=T, x_shape=(res, res, 3),
+            external_cond_type="action",  # per-frame pose maps, sliced per window
             keyframe_density=None if total_frames <= T else 0.0625,
             sliding_context_len=T // 2,
             interpolation_max_batch_size=args.interp_batch,
@@ -162,7 +163,8 @@ def main():
         ctx = jnp.zeros((1, T, res, res, 3))
         mask = np.zeros((1, T), dtype=np.int64)
         mask[:, :n_context] = 1
-        conds = jnp.zeros((1, T, res, res, pose_dim))
+        # conditions stay HOST-side numpy; the rollout slices per window
+        conds = np.zeros((1, T, res, res, pose_dim), np.float32)
 
         def run(seed):
             out = ro.sample_sequence(
@@ -181,7 +183,9 @@ def main():
             guidance_scale=1.5, timesteps=dcfg.timesteps
         )
         xs = jnp.zeros((1, total_frames, res, res, 3))
-        conds = jnp.zeros((1, total_frames, res, res, pose_dim))
+        # 200 frames x 256^2 x 180ch of fp32 ray encodings is ~9.4 GB — far
+        # beyond HBM; keep it host-side, the rollout transfers per-window
+        conds = np.zeros((1, total_frames, res, res, pose_dim), np.float32)
 
         def run(seed):
             out = ro.predict_videos(

@@ -316,12 +316,14 @@ class DFoTVideoAlgo:
         )
         return create_train_state(variables["params"], tx, use_ema=True)
 
-    def make_eval_loss(self):
-        """Jitted denoising-loss evaluator (for in-training validation,
-        reference run_validation with validate_sample=False)."""
+    def make_eval_denoise(self):
+        """Jitted denoising evaluator returning (mean loss, x0 reconstruction)
+        — the reference's validation_step denoising output (``recons``,
+        simple_video_generation.py:434-445) used for both the in-training
+        validation loss and the ``*_denoising_vis`` video panels."""
 
         @jax.jit
-        def eval_loss(params, batch, rng):
+        def eval_denoise(params, batch, rng):
             r_k, r_noise, r_drop = jax.random.split(rng, 3)
             from ..training.noise_levels import training_noise_levels
             from ..diffusion import core as _dc
@@ -342,7 +344,9 @@ class DFoTVideoAlgo:
                     params, x_t, self.dcfg.precond_scale * logsnr,
                     batch.get("conditions"), None, rngs={"dropout": r_drop},
                 )
-                _, loss = continuous_v_loss(self.dcfg, out, x_t, noise, logsnr, a_t, s_t)
+                recons, loss = continuous_v_loss(
+                    self.dcfg, out, x_t, noise, logsnr, a_t, s_t
+                )
             else:
                 noised, target = _dc.training_targets(self.sched, self.dcfg, xs, k, noise)
                 out = self._train_apply(
@@ -350,8 +354,25 @@ class DFoTVideoAlgo:
                     batch.get("conditions"), None, rngs={"dropout": r_drop},
                 )
                 loss = _dc.training_loss(self.sched, self.dcfg, out, target, k)
+                if self.dcfg.objective == "pred_x0":
+                    recons = out
+                elif self.dcfg.objective == "pred_noise":
+                    recons = _dc.predict_start_from_noise(self.sched, noised, k, out)
+                else:  # pred_v
+                    recons = _dc.predict_start_from_v(self.sched, noised, k, out)
             w = _dc.bcast_right(loss_mask.astype(loss.dtype), loss.ndim)
-            return jnp.mean(loss * w)
+            return jnp.mean(loss * w), recons
+
+        return eval_denoise
+
+    def make_eval_loss(self):
+        """Jitted denoising-loss evaluator (for in-training validation,
+        reference run_validation with validate_sample=False)."""
+        eval_denoise = self.make_eval_denoise()
+
+        def eval_loss(params, batch, rng):
+            loss, _ = eval_denoise(params, batch, rng)
+            return loss
 
         return eval_loss
 

@@ -199,7 +199,7 @@ class VideoGenerationExperiment:
         val_every = val_every if isinstance(val_every, int) and val_every > 1 else 0
         val_epoch_every = vcfg_val.get("val_every_n_epoch") or 0
         val_loader = None
-        eval_loss_fn = None
+        eval_denoise_fn = None
         if val_every or val_epoch_every:
             try:
                 val_dataset = build_dataset(cfg.dataset, "validation")
@@ -207,12 +207,22 @@ class VideoGenerationExperiment:
                     val_dataset, vcfg_val.batch_size,
                     shuffle=False, drop_last=False,
                 )
-                eval_loss_fn = algo.make_eval_loss()
+                eval_denoise_fn = algo.make_eval_denoise()
             except FileNotFoundError:
                 val_every = 0
                 val_epoch_every = 0
+        # how many val batches per mid-training pass (reference limit_batch,
+        # simple_video_generation.py:397)
+        val_limit = vcfg_val.get("limit_batch")
+        val_limit = val_limit if isinstance(val_limit, int) and val_limit > 0 else 4
+        # validate_sample: also sample videos + score metrics mid-training
+        # (reference run_validation's validate_sample path,
+        # simple_video_generation.py:385-514; its training loop defaults this
+        # off at line 315 — opt in via experiment.validation.validate_sample)
+        val_sample = bool(vcfg_val.get("validate_sample"))
+        max_vis = cfg.algorithm.logging.get("max_num_videos", 8)
 
-        def run_eval_loss(at_step: int) -> None:
+        def run_mid_validation(at_step: int) -> None:
             if val_loader is None:
                 return
             losses = []
@@ -220,8 +230,9 @@ class VideoGenerationExperiment:
                 state.ema_params if state.ema_params is not None else state.params
             )
             nonlocal rng
+            sample_batch = None
             for j, vb in enumerate(val_loader):
-                if j >= 4:
+                if j >= val_limit:
                     break
                 vt = self._tokenize_batch(vb)
                 vt.pop("gt_videos", None)
@@ -230,9 +241,36 @@ class VideoGenerationExperiment:
                         algo.process_conditions(vt["conditions"])
                     )
                 rng, r_v = jax.random.split(rng)
-                losses.append(float(eval_loss_fn(eval_params, vt, r_v)))
+                loss, recons = eval_denoise_fn(eval_params, vt, r_v)
+                losses.append(float(loss))
+                if j == 0:
+                    sample_batch = vb
+                    # denoising-vis panel: one-step x0 reconstruction | gt
+                    # (reference *_denoising_vis, simple_video_generation.py:434-445)
+                    vis = algo.unnormalize(recons[:max_vis])
+                    gt = algo.unnormalize(vt["xs"][:max_vis])
+                    if algo.is_latent:
+                        vis = self._codec.decode_video(vis)
+                        gt = (
+                            jnp.asarray(vb["videos"][:max_vis])
+                            if "videos" in vb
+                            else self._codec.decode_video(gt)
+                        )
+                    log_video(
+                        np.asarray(vis), np.asarray(gt),
+                        os.path.join(
+                            self.output_dir, "videos",
+                            f"denoising_vis_step{at_step}.gif",
+                        ),
+                        context_frames=0,
+                    )
             if losses:
                 self.logger.log({"validation/loss": float(np.mean(losses))}, at_step)
+            if val_sample and sample_batch is not None:
+                self._score_sampled_batch(
+                    eval_params, sample_batch, at_step, max_vis
+                )
+
 
         step = int(state.step)
         t_start = time.time()
@@ -270,7 +308,7 @@ class VideoGenerationExperiment:
                     if ckpt_every and step % ckpt_every == 0:
                         save_checkpoint(self.ckpt_dir, step, state, save_top_k)
                     if val_every and step % val_every == 0:
-                        run_eval_loss(step)
+                        run_mid_validation(step)
                     if max_steps is not None and step >= max_steps:
                         done = True
                         break
@@ -278,7 +316,7 @@ class VideoGenerationExperiment:
                 # epoch-based cadences (reference val_every_n_epoch /
                 # checkpointing.every_n_epochs)
                 if val_epoch_every and not done and epoch % val_epoch_every == 0:
-                    run_eval_loss(step)
+                    run_mid_validation(step)
                 ckpt_epochs = tcfg.checkpointing.get("every_n_epochs") or 0
                 if ckpt_epochs and not done and epoch % ckpt_epochs == 0:
                     save_checkpoint(self.ckpt_dir, step, state, save_top_k)
@@ -326,6 +364,64 @@ class VideoGenerationExperiment:
                     "val_on_training_history_free", split="training",
                     n_context_override=0,
                 )
+
+    def _score_sampled_batch(
+        self, params, batch, at_step: int, max_vis: int = 8
+    ) -> None:
+        """Mid-training sampled validation: generate videos for one val batch
+        with the EMA weights, score the configured metric suite, and log GIFs
+        (reference run_validation's validate_sample path,
+        simple_video_generation.py:446-514 + update_metrics/log)."""
+        from ..metrics import SharedMetricModelRegistry, VideoMetric
+
+        cfg, algo = self.cfg, self.algo
+        tokens = self._tokenize_batch(batch)
+        rng = jax.random.PRNGKey(at_step)
+        videos = algo.sample_videos(
+            params, rng, tokens["xs"], conditions=batch.get("conds")
+        )
+        videos = {k: algo.unnormalize(v) for k, v in videos.items()}
+        if algo.is_latent:
+            videos = {
+                k: (
+                    jnp.asarray(batch["videos"])
+                    if k == "gt" and "videos" in batch
+                    else self._codec.decode_video(v)
+                )
+                for k, v in videos.items()
+            }
+        gt = np.asarray(videos["gt"])
+        B, T = gt.shape[:2]
+        nct = algo.n_context_tokens
+        metric_types = tuple(cfg.algorithm.logging.get("metrics", ["mse", "psnr"]))
+        registry = SharedMetricModelRegistry(
+            weights_dir=cfg.algorithm.logging.get("metrics_weights_dir")
+        )
+        results: Dict[str, float] = {}
+        for task, vid in videos.items():
+            if task == "gt":
+                continue
+            ctx = np.zeros((B, T), dtype=bool)
+            if task.startswith("interpolation"):
+                ctx[:, [0, -1]] = True
+            else:
+                ctx[:, :nct] = True
+            vm = VideoMetric(
+                metric_types, registry,
+                n_metrics_frames=cfg.algorithm.logging.get("n_metrics_frames"),
+            )
+            vm.update(np.asarray(vid)[:max_vis], gt[:max_vis], ctx[:max_vis])
+            results.update(vm.log(f"validation/{task}"))
+            log_video(
+                np.asarray(vid)[:max_vis], gt[:max_vis],
+                os.path.join(
+                    self.output_dir, "videos",
+                    f"{task}_validation_step{at_step}.gif",
+                ),
+                context_frames=nct,
+            )
+        if results:
+            self.logger.log(results, at_step)
 
     def _validate_once(
         self,
@@ -508,7 +604,9 @@ class VideoGenerationExperiment:
 
     def _import_torch_checkpoint(self, path: str):
         from ..utils.torch_ckpt import (
+            import_dit1d_params,
             import_dit3d_params,
+            import_far_params,
             import_uvit3d_params,
             load_state_dict,
             strip_checkpoint,
@@ -517,7 +615,7 @@ class VideoGenerationExperiment:
         state = strip_checkpoint(load_state_dict(path))
         bcfg = self.cfg.algorithm.backbone
         name = bcfg.name
-        if name.startswith("dit3d"):
+        if name.startswith("dit3d") or name.startswith("difference_dit3d"):
             return import_dit3d_params(state)
         if name.startswith("u_vit3d"):
             return import_uvit3d_params(
@@ -526,4 +624,8 @@ class VideoGenerationExperiment:
                 num_levels=len(bcfg.channels),
                 patch_size=bcfg.patch_size,
             )
+        if name == "far_dit":
+            return import_far_params(state)
+        if name == "dit1d":
+            return import_dit1d_params(state)
         raise NotImplementedError(f"torch import for backbone {name!r} not wired")

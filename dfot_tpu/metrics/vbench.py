@@ -196,15 +196,31 @@ class VBenchQuality:
         first = np.clip((f[:, :1] * f[:, 1:]).sum(-1), 0, None)
         return float(((consec + first) / 2.0).mean())
 
+    # dim -> registry models whose weights decide value comparability.
+    # Flow-based dims use classical optical flow until RAFT weights are
+    # supplied ("raft"); pure-pixel temporal_flickering is always comparable.
+    _DIM_MODELS = {
+        "motion_smoothness": ("raft",),
+        "dynamic_degree": ("raft",),
+        "subject_consistency": ("dino",),
+        "background_consistency": ("clip_b32",),
+        "aesthetic_quality": ("clip_l14", "laion"),
+    }
+
     def log(self, prefix: str = "vbench") -> Dict[str, float]:
         out: Dict[str, float] = {}
         total_w = 0.0
         acc = 0.0
+        comp = self.registry.comparable if self.registry is not None else {}
         for dim, scores in self._scores.items():
             if not scores:
                 continue
             val = float(np.mean(scores))
-            out[f"{prefix}/{dim}"] = val
+            models = self._DIM_MODELS.get(dim, ())
+            name = dim
+            if models and not all(comp.get(m, False) for m in models):
+                name = f"{dim}_uncalibrated"
+            out[f"{prefix}/{name}"] = val
             acc += _WEIGHTS[dim] * val
             total_w += _WEIGHTS[dim]
         if total_w > 0:

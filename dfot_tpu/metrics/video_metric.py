@@ -148,11 +148,35 @@ class VideoMetric:
         reps = -(-min_frames // T)
         return np.tile(videos, (1, reps, 1, 1, 1))[:, :min_frames]
 
+    # metric -> frozen model whose weights decide value comparability
+    _METRIC_MODELS = {
+        "fvd": ("i3d",),
+        "fid": ("inception",),
+        "is": ("inception",),
+        "lpips": ("lpips",),
+        "fvmd": ("fvmd",),
+    }
+
+    def _key_fn(self, prefix: str):
+        """Metric-name mapper that suffixes ``_uncalibrated`` when the
+        backing frozen model ran with random fallback weights
+        (registry.comparable[model] is False) — so an FVD scored without
+        real I3D weights can never be mistaken for a published-table value."""
+
+        def key(m: str) -> str:
+            models = self._METRIC_MODELS.get(m, ())
+            comp = self.registry.comparable if self.registry else {}
+            if models and not all(comp.get(name, False) for name in models):
+                m = f"{m}_uncalibrated"
+            return f"{prefix}/{m}" if prefix else m
+
+        return key
+
     # ------------------------------------------------------------------
     def log(self, prefix: str = "") -> Dict[str, float]:
         """Compute all configured metrics, then reset (reference :233-264)."""
         out: Dict[str, float] = {}
-        key = (lambda m: f"{prefix}/{m}") if prefix else (lambda m: m)
+        key = self._key_fn(prefix)
         for m in FRAME_WISE:
             if m in self.metric_types and self._frame_acc[m]:
                 out[key(m)] = float(np.mean(self._frame_acc[m]))
@@ -166,6 +190,6 @@ class VideoMetric:
             out[key("is")] = self._is.compute()
         for name, vb in self._vbench.items():
             if self._count:
-                out.update(vb.log(prefix=key(name)))
+                out.update(vb.log(prefix=f"{prefix}/{name}" if prefix else name))
         self.reset()
         return out

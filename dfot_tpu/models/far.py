@@ -79,6 +79,11 @@ class FARBlock(nn.Module):
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(h)
         qkv = qkv.reshape(B, N, 3, self.num_heads, d)
         q, k, v = [jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)]
+        # per-head RMS q/k norm (reference Attention(qk_norm='rms_norm'))
+        from .uvit import RMSNorm
+
+        q = RMSNorm(name="q_norm")(q)
+        k = RMSNorm(name="k_norm")(k)
         q, k = apply_rope(q, self.rope), apply_rope(k, self.rope)
         s = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32) / math.sqrt(d)
         s = s + bias  # frame-causal mask + ALiBi slope
@@ -89,7 +94,9 @@ class FARBlock(nn.Module):
 
         shift2, scale2, gate2 = AdaModulation(self.dim, 3, self.dtype, name="norm2")(c)
         h = modulate(ln(x), shift2, scale2)
-        x = x + gate2 * Mlp(self.dim, int(self.dim * self.mlp_ratio), self.dtype, name="ff")(h)
+        # the reference constructs FeedForward without forwarding mlp_ratio,
+        # so the hidden width is ALWAYS 4x dim (far_model.py:175-177)
+        x = x + gate2 * Mlp(self.dim, int(self.dim * 4.0), self.dtype, name="ff")(h)
         return x
 
 

@@ -252,18 +252,22 @@ class DFoTRollout:
                 chunk_ctx.append(ctx)
                 chunk_mask.append(m)
                 if conditions is not None:
+                    xp = np if isinstance(conditions, np.ndarray) else jnp
                     if cfg.external_cond_type == "label":
                         chunk_cond.append(conditions)
                     else:
-                        csel = conditions[:, jnp.asarray(frames)]
+                        csel = conditions[:, xp.asarray(frames)]
                         if pad:
-                            cz = jnp.zeros((B, pad) + conditions.shape[2:], csel.dtype)
-                            csel = jnp.concatenate([csel, cz], 1)
+                            cz = xp.zeros((B, pad) + conditions.shape[2:], csel.dtype)
+                            csel = xp.concatenate([csel, cz], 1)
                         chunk_cond.append(csel)
 
             all_ctx = jnp.concatenate(chunk_ctx, 0)
             all_mask = np.concatenate(chunk_mask, 0)
-            all_cond = jnp.concatenate(chunk_cond, 0) if chunk_cond else None
+            all_cond = None
+            if chunk_cond:
+                xp = np if isinstance(chunk_cond[0], np.ndarray) else jnp
+                all_cond = xp.concatenate(chunk_cond, 0)
 
             # split into max_batch_size chunks to bound NFE-expanded memory
             N = all_ctx.shape[0]
@@ -310,7 +314,10 @@ class DFoTRollout:
 
         key_conditions = conditions
         if conditions is not None and cfg.external_cond_type == "action":
-            key_conditions = conditions[:, jnp.asarray(keys)]
+            if isinstance(conditions, np.ndarray):
+                key_conditions = conditions[:, np.asarray(keys)]
+            else:
+                key_conditions = conditions[:, jnp.asarray(keys)]
 
         rng, r_pred = jax.random.split(rng)
         xs_key = self.predict_sequence(
@@ -340,14 +347,18 @@ class DFoTRollout:
 
     # ------------------------------------------------------------------
     def _slice_conditions(self, conditions, start: int, length: int):
+        # conditions may be HOST numpy: large per-frame maps (e.g. 180-channel
+        # ray encodings over hundreds of frames) must not be materialized on
+        # device in full — only the per-window slice is transferred
         if conditions is None:
             return None
         if self.cfg.external_cond_type == "label":
             return conditions
+        xp = np if isinstance(conditions, np.ndarray) else jnp
         sl = conditions[:, start : start + length]
         if sl.shape[1] < length:  # pad tail windows
-            pad = jnp.zeros(
+            pad = xp.zeros(
                 (sl.shape[0], length - sl.shape[1]) + sl.shape[2:], sl.dtype
             )
-            sl = jnp.concatenate([sl, pad], 1)
+            sl = xp.concatenate([sl, pad], 1)
         return sl

@@ -33,6 +33,8 @@ __all__ = [
     "unpatchify_convT_w",
     "import_dit3d_params",
     "import_uvit3d_params",
+    "import_far_params",
+    "import_dit1d_params",
 ]
 
 
@@ -236,6 +238,96 @@ def import_dit3d_params(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
          r"dit/final_layer/proj/kernel", linear_w),
         (r"dit_base\.final_layer\.linear\.bias",
          r"dit/final_layer/proj/bias", _ID),
+    ]
+    return _unflatten(_apply_rules(state, rules))
+
+
+def import_far_params(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Map a reference FARDiT state dict (far_model.py torch module names)
+    onto our models/far.FARDiT param tree. The separate to_q/to_k/to_v
+    projections are fused into our packed qkv Dense."""
+    fused: Dict[str, np.ndarray] = {}
+    for key, value in state.items():
+        # FARDiT inherits BaseBackbone's noise_level_pos_embedding but uses
+        # its own time_proj/timestep_embedder instead — dead parameters
+        if key.startswith("noise_level_pos_embedding."):
+            continue
+        m = re.fullmatch(
+            r"transformer_blocks\.(\d+)\.attn\.to_([qkv])\.(weight|bias)", key
+        )
+        if m:
+            i, which, kind = m.groups()
+            if which == "q":
+                parts = [
+                    state[f"transformer_blocks.{i}.attn.to_{c}.{kind}"]
+                    for c in "qkv"
+                ]
+                fused[f"QKV.{i}.{kind}"] = np.concatenate(parts, axis=0)
+            continue
+        fused[key] = value
+
+    rules = [
+        (r"x_embedder\.weight", r"x_embedder/kernel", linear_w),
+        (r"x_embedder\.bias", r"x_embedder/bias", _ID),
+        (r"timestep_embedder\.linear_(\d)\.weight", r"t_embedder/linear_\1/kernel", linear_w),
+        (r"timestep_embedder\.linear_(\d)\.bias", r"t_embedder/linear_\1/bias", _ID),
+        (r"external_cond_embedding\.embedding_table\.weight", r"cond_emb/embedding_table", _ID),
+        (r"transformer_blocks\.(\d+)\.norm(\d)\.linear\.weight",
+         r"block_\1/norm\2/linear/kernel", linear_w),
+        (r"transformer_blocks\.(\d+)\.norm(\d)\.linear\.bias",
+         r"block_\1/norm\2/linear/bias", _ID),
+        (r"QKV\.(\d+)\.weight", r"block_\1/qkv/kernel", linear_w),
+        (r"QKV\.(\d+)\.bias", r"block_\1/qkv/bias", _ID),
+        (r"transformer_blocks\.(\d+)\.attn\.norm_q\.weight", r"block_\1/q_norm/weight", _ID),
+        (r"transformer_blocks\.(\d+)\.attn\.norm_k\.weight", r"block_\1/k_norm/weight", _ID),
+        (r"transformer_blocks\.(\d+)\.attn\.to_out\.0\.weight",
+         r"block_\1/attn_out/kernel", linear_w),
+        (r"transformer_blocks\.(\d+)\.attn\.to_out\.0\.bias",
+         r"block_\1/attn_out/bias", _ID),
+        (r"transformer_blocks\.(\d+)\.mlp\.net\.0\.proj\.weight",
+         r"block_\1/ff/fc1/kernel", linear_w),
+        (r"transformer_blocks\.(\d+)\.mlp\.net\.0\.proj\.bias",
+         r"block_\1/ff/fc1/bias", _ID),
+        (r"transformer_blocks\.(\d+)\.mlp\.net\.2\.weight",
+         r"block_\1/ff/fc2/kernel", linear_w),
+        (r"transformer_blocks\.(\d+)\.mlp\.net\.2\.bias",
+         r"block_\1/ff/fc2/bias", _ID),
+        (r"norm_out\.linear\.weight", r"norm_out/kernel", linear_w),
+        (r"norm_out\.linear\.bias", r"norm_out/bias", _ID),
+        (r"proj_out\.weight", r"proj_out/kernel", linear_w),
+        (r"proj_out\.bias", r"proj_out/bias", _ID),
+    ]
+    return _unflatten(_apply_rules(fused, rules))
+
+
+def import_dit1d_params(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Map a reference DIT1D state dict (dit1d/dit_model.py torch module
+    names) onto our models/dit1d.DiT1D param tree."""
+    # pos_embed is a frozen sincos table we regenerate exactly; drop it
+    state = {k: v for k, v in state.items() if k != "pos_embed"}
+    rules = [
+        (r"x_embedder\.weight", r"x_embedder/kernel", linear_w),
+        (r"x_embedder\.bias", r"x_embedder/bias", _ID),
+        (r"t_embedder\.mlp\.0\.weight", r"t_embedder/linear_1/kernel", linear_w),
+        (r"t_embedder\.mlp\.0\.bias", r"t_embedder/linear_1/bias", _ID),
+        (r"t_embedder\.mlp\.2\.weight", r"t_embedder/linear_2/kernel", linear_w),
+        (r"t_embedder\.mlp\.2\.bias", r"t_embedder/linear_2/bias", _ID),
+        (r"c_embedder\.weight", r"c_embedder/kernel", linear_w),
+        (r"c_embedder\.bias", r"c_embedder/bias", _ID),
+        (r"blocks\.(\d+)\.adaLN_modulation\.1\.weight",
+         r"block_\1/adaLN_modulation/kernel", linear_w),
+        (r"blocks\.(\d+)\.adaLN_modulation\.1\.bias",
+         r"block_\1/adaLN_modulation/bias", _ID),
+        (r"blocks\.(\d+)\.attn\.qkv\.weight", r"block_\1/qkv/kernel", linear_w),
+        (r"blocks\.(\d+)\.attn\.qkv\.bias", r"block_\1/qkv/bias", _ID),
+        (r"blocks\.(\d+)\.attn\.proj\.weight", r"block_\1/proj/kernel", linear_w),
+        (r"blocks\.(\d+)\.attn\.proj\.bias", r"block_\1/proj/bias", _ID),
+        (r"blocks\.(\d+)\.attn\.(q|k)_norm\.weight", r"block_\1/\2_norm/scale", _ID),
+        (r"blocks\.(\d+)\.attn\.(q|k)_norm\.bias", r"block_\1/\2_norm/bias", _ID),
+        (r"blocks\.(\d+)\.mlp\.fc(\d)\.weight", r"block_\1/mlp/fc\2/kernel", linear_w),
+        (r"blocks\.(\d+)\.mlp\.fc(\d)\.bias", r"block_\1/mlp/fc\2/bias", _ID),
+        (r"final_layer\.1\.weight", r"final_linear/kernel", linear_w),
+        (r"final_layer\.1\.bias", r"final_linear/bias", _ID),
     ]
     return _unflatten(_apply_rules(state, rules))
 

@@ -228,6 +228,123 @@ def install_stubs() -> None:
                 "faithfully before testing this code path"
             )
 
+    # --- faithful diffusers pieces used by FARDiT ----------------------------
+
+    def get_1d_rotary_pos_embed(dim, pos, theta=10000.0, use_real=False,
+                                linear_factor=1.0, ntk_factor=1.0,
+                                repeat_interleave_real=True,
+                                freqs_dtype=torch.float32):
+        assert dim % 2 == 0
+        theta = theta * ntk_factor
+        freqs = (
+            1.0 / (theta ** (torch.arange(0, dim, 2, dtype=freqs_dtype)[: dim // 2] / dim))
+            / linear_factor
+        )
+        freqs = torch.outer(pos, freqs)
+        if use_real and repeat_interleave_real:
+            freqs_cos = freqs.cos().repeat_interleave(2, dim=1).float()
+            freqs_sin = freqs.sin().repeat_interleave(2, dim=1).float()
+            return freqs_cos, freqs_sin
+        raise NotImplementedError("only the use_real interleaved form is stubbed")
+
+    class FluxPosEmbed(nn.Module):
+        """diffusers FluxPosEmbed: per-axis 1-D rope tables over integer ids."""
+
+        def __init__(self, theta, axes_dim):
+            super().__init__()
+            self.theta = theta
+            self.axes_dim = axes_dim
+
+        def forward(self, ids):
+            n_axes = ids.shape[-1]
+            cos_out, sin_out = [], []
+            pos = ids.float()
+            for i in range(n_axes):
+                cos, sin = get_1d_rotary_pos_embed(
+                    self.axes_dim[i], pos[:, i], theta=self.theta,
+                    repeat_interleave_real=True, use_real=True,
+                    freqs_dtype=torch.float64,
+                )
+                cos_out.append(cos)
+                sin_out.append(sin)
+            return torch.cat(cos_out, dim=-1), torch.cat(sin_out, dim=-1)
+
+    def apply_rotary_emb(x, freqs_cis, use_real=True, use_real_unbind_dim=-1):
+        cos, sin = freqs_cis
+        cos = cos[None, None]
+        sin = sin[None, None]
+        cos, sin = cos.to(x.device), sin.to(x.device)
+        x_real, x_imag = x.reshape(*x.shape[:-1], -1, 2).unbind(-1)
+        x_rotated = torch.stack([-x_imag, x_real], dim=-1).flatten(3)
+        return (x.float() * cos + x_rotated.float() * sin).to(x.dtype)
+
+    class GELUProj(nn.Module):
+        """diffusers GELU: Linear then gelu (state_dict key: proj)."""
+
+        def __init__(self, dim_in, dim_out, approximate="none", bias=True):
+            super().__init__()
+            self.proj = nn.Linear(dim_in, dim_out, bias=bias)
+            self.approximate = approximate
+
+        def forward(self, x):
+            return torch.nn.functional.gelu(self.proj(x), approximate=self.approximate)
+
+    class FeedForward(nn.Module):
+        """diffusers FeedForward: net.0 = GELU(proj), net.1 = Dropout, net.2 = Linear."""
+
+        def __init__(self, dim, dim_out=None, mult=4, dropout=0.0,
+                     activation_fn="geglu", final_dropout=False, inner_dim=None,
+                     bias=True):
+            super().__init__()
+            inner_dim = inner_dim or int(dim * mult)
+            dim_out = dim_out or dim
+            if activation_fn == "gelu-approximate":
+                act = GELUProj(dim, inner_dim, approximate="tanh", bias=bias)
+            elif activation_fn == "gelu":
+                act = GELUProj(dim, inner_dim, bias=bias)
+            else:
+                raise NotImplementedError(activation_fn)
+            self.net = nn.ModuleList(
+                [act, nn.Dropout(dropout), nn.Linear(inner_dim, dim_out, bias=bias)]
+            )
+
+        def forward(self, x):
+            for m in self.net:
+                x = m(x)
+            return x
+
+    class Attention(nn.Module):
+        """diffusers Attention, restricted to the self-attention configuration
+        FARDiT uses (to_q/to_k/to_v + to_out.0 linears, optional RMS q/k norm,
+        a custom processor)."""
+
+        def __init__(self, query_dim, cross_attention_dim=None, heads=8,
+                     dim_head=64, dropout=0.0, bias=False, out_dim=None,
+                     qk_norm=None, eps=1e-5, processor=None, **kwargs):
+            super().__init__()
+            assert cross_attention_dim is None, "only self-attention stubbed"
+            self.inner_dim = out_dim if out_dim is not None else dim_head * heads
+            self.heads = out_dim // dim_head if out_dim is not None else heads
+            self.to_q = nn.Linear(query_dim, self.inner_dim, bias=bias)
+            self.to_k = nn.Linear(query_dim, self.inner_dim, bias=bias)
+            self.to_v = nn.Linear(query_dim, self.inner_dim, bias=bias)
+            if qk_norm == "rms_norm":
+                self.norm_q = RMSNorm(dim_head, eps=eps)
+                self.norm_k = RMSNorm(dim_head, eps=eps)
+            elif qk_norm is None:
+                self.norm_q = None
+                self.norm_k = None
+            else:
+                raise NotImplementedError(qk_norm)
+            self.to_out = nn.ModuleList(
+                [nn.Linear(self.inner_dim, out_dim or query_dim, bias=True),
+                 nn.Dropout(dropout)]
+            )
+            self.processor = processor
+
+        def forward(self, hidden_states, **kwargs):
+            return self.processor(self, hidden_states, **kwargs)
+
     diffusers = types.ModuleType("diffusers")
     diffusers.__path__ = []  # mark as package so submodule imports resolve
     d_utils = types.ModuleType("diffusers.utils")
@@ -242,10 +359,11 @@ def install_stubs() -> None:
     d_emb.Timesteps = Timesteps
     d_emb.TimestepEmbedding = TimestepEmbedding
     d_emb.LabelEmbedding = LabelEmbedding
-    d_emb.FluxPosEmbed = type("FluxPosEmbed", (_NotNeeded,), {})
-    d_emb.apply_rotary_emb = None  # replaced when FAR parity lands
-    d_attn.FeedForward = type("FeedForward", (_NotNeeded,), {})
-    d_attnp.Attention = type("Attention", (_NotNeeded,), {})
+    d_emb.FluxPosEmbed = FluxPosEmbed
+    d_emb.get_1d_rotary_pos_embed = get_1d_rotary_pos_embed
+    d_emb.apply_rotary_emb = apply_rotary_emb
+    d_attn.FeedForward = FeedForward
+    d_attnp.Attention = Attention
     d_mutils.ModelMixin = nn.Module
     d_norm.LayerNorm = nn.LayerNorm
     d_norm.RMSNorm = RMSNorm
@@ -276,9 +394,28 @@ def install_stubs() -> None:
 
     ret = types.ModuleType("rotary_embedding_torch")
     ret_inner = types.ModuleType("rotary_embedding_torch.rotary_embedding_torch")
+    class RotaryEmbedding(nn.Module):
+        """Faithful rotary_embedding_torch.RotaryEmbedding for the default
+        configuration DIT1D uses (lang-style freqs, full-dim rotation,
+        rotate_queries_or_keys over seq_dim=-2)."""
+
+        def __init__(self, dim, theta=10000):
+            super().__init__()
+            freqs = 1.0 / (
+                theta ** (torch.arange(0, dim, 2)[: dim // 2].float() / dim)
+            )
+            self.register_buffer("freqs", freqs, persistent=False)
+
+        def rotate_queries_or_keys(self, t, seq_dim=-2, offset=0):
+            seq_len = t.shape[seq_dim]
+            seq = torch.arange(seq_len, dtype=self.freqs.dtype) + offset
+            freqs = torch.einsum("i,j->ij", seq, self.freqs)
+            freqs = torch.repeat_interleave(freqs, 2, dim=-1)
+            return t * freqs.cos() + rotate_half(t) * freqs.sin()
+
     ret_inner.rotate_half = rotate_half
     ret.rotate_half = rotate_half
-    ret.RotaryEmbedding = type("RotaryEmbedding", (_NotNeeded,), {})
+    ret.RotaryEmbedding = RotaryEmbedding
     ret.rotary_embedding_torch = ret_inner
     sys.modules["rotary_embedding_torch"] = ret
     sys.modules["rotary_embedding_torch.rotary_embedding_torch"] = ret_inner

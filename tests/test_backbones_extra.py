@@ -122,7 +122,7 @@ def test_dit1d_shapes():
 
 def test_dit1d_temporal_causal():
     spec = DiT1DSpec(hidden_size=32, depth=2, num_heads=2, mlp_ratio=2.0,
-                     attn_mask_type="temporal_causal", max_temporal_length=3)
+                     causal_attn_mode="temporal_causal", max_temporal_length=3)
     model = DiT1D(spec=spec, x_channels=4, n_tokens=8)
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 1, 8, 4))
     k = jnp.zeros((1, 3))

@@ -80,3 +80,27 @@ def test_validation_from_checkpoint(trained_run, tmp_path):
     keys = set().union(*(l.keys() for l in lines))
     assert any("prediction/mse" in k for k in keys)
     assert any("prediction/fvd" in k for k in keys)
+
+
+def test_mid_training_sampled_validation(tmp_path):
+    """val_every_n_step fires during training: denoising loss + denoising-vis
+    GIF always; with validate_sample=true also sampled videos + metrics
+    (reference run_validation, simple_video_generation.py:385-514)."""
+    import main as cli
+
+    overrides = TINY_OVERRIDES + [
+        f"output_dir={tmp_path}",
+        "experiment.tasks=[training]",
+        "++experiment.validation.val_every_n_step=2",
+        "++experiment.validation.validate_sample=true",
+        "++algorithm.tasks.interpolation.enabled=false",
+    ]
+    exp = cli.run(overrides)
+    with open(os.path.join(exp.output_dir, "metrics.jsonl")) as f:
+        lines = [json.loads(l) for l in f]
+    keys = set().union(*(l.keys() for l in lines))
+    assert "validation/loss" in keys
+    assert any(k.startswith("validation/prediction/") for k in keys)
+    videos = os.listdir(os.path.join(exp.output_dir, "videos"))
+    assert any(v.startswith("denoising_vis_step") for v in videos)
+    assert any(v.startswith("prediction_validation_step") for v in videos)

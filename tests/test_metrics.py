@@ -92,7 +92,8 @@ def test_video_metric_end_to_end():
     assert out_good["val/mse"] < out_bad["val/mse"]
     assert out_good["val/psnr"] > out_bad["val/psnr"]
     assert out_good["val/ssim"] > out_bad["val/ssim"]
-    assert out_good["val/fvd"] < out_bad["val/fvd"]
+    # random-I3D fallback is flagged in the metric name itself
+    assert out_good["val/fvd_uncalibrated"] < out_bad["val/fvd_uncalibrated"]
     # registry flags non-comparable fallback weights
     assert registry.comparable["i3d"] is False
 
@@ -122,10 +123,10 @@ def test_vbench_quality_orders_videos():
     vb.update(noisy)
     s_noisy = vb.log()
     assert s_smooth["vbench/temporal_flickering"] > s_noisy["vbench/temporal_flickering"]
-    assert s_smooth["vbench/motion_smoothness"] > s_noisy["vbench/motion_smoothness"]
+    assert s_smooth["vbench/motion_smoothness_uncalibrated"] > s_noisy["vbench/motion_smoothness_uncalibrated"]
     # static video has no motion; noise has high dynamic degree
-    assert s_smooth["vbench/dynamic_degree"] == 0.0
-    assert s_noisy["vbench/dynamic_degree"] == 1.0
+    assert s_smooth["vbench/dynamic_degree_uncalibrated"] == 0.0
+    assert s_noisy["vbench/dynamic_degree_uncalibrated"] == 1.0
     assert 0 <= s_noisy["vbench/quality_score"] <= 1
 
 
@@ -152,14 +153,14 @@ def test_fvmd_orders_motion_fidelity():
     static = np.repeat(gt[:, :1], T, axis=1)  # no motion at all
 
     vm.update(same_motion, gt)
-    good = vm.log()["fvmd"]
+    good = vm.log()["fvmd_uncalibrated"]
     vm.update(static, gt)
-    bad = vm.log()["fvmd"]
+    bad = vm.log()["fvmd_uncalibrated"]
     assert good < bad
 
     # < 16 frames: reference skips FVMD entirely
     vm.update(gt[:, :8], gt[:, :8])
-    assert vm.log()["fvmd"] == 0.0  # no features accumulated
+    assert vm.log()["fvmd_uncalibrated"] == 0.0  # no features accumulated
 
 
 def test_vbench_model_dims_with_registry(monkeypatch):
@@ -196,8 +197,8 @@ def test_vbench_model_dims_with_registry(monkeypatch):
     static = np.repeat(frame, 3, axis=1)  # identical frames
     vb.update(static)
     s = vb.log()
-    assert s["vbench/subject_consistency"] == pytest.approx(1.0, abs=1e-4)
-    assert s["vbench/background_consistency"] == pytest.approx(1.0, abs=1e-4)
+    assert s["vbench/subject_consistency_uncalibrated"] == pytest.approx(1.0, abs=1e-4)
+    assert s["vbench/background_consistency_uncalibrated"] == pytest.approx(1.0, abs=1e-4)
     assert 0.0 <= s["vbench/quality_score"] <= 1.0
     assert registry.comparable == {
         "dino": False, "clip_b32": False, "clip_l14": False, "laion": False,
@@ -209,7 +210,7 @@ def test_vbench_model_dims_with_registry(monkeypatch):
     )
     vb.update(moving)
     s2 = vb.log()
-    assert s2["vbench/subject_consistency"] <= 1.0
+    assert s2["vbench/subject_consistency_uncalibrated"] <= 1.0
 
 
 def test_clip_dino_import_structural():

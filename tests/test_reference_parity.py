@@ -232,6 +232,166 @@ def test_matrix_dit3d_forward_parity(variant, use_temporal_rope, multi_token,
 
 
 # ---------------------------------------------------------------------------
+# FARDiT
+# ---------------------------------------------------------------------------
+
+
+# NOTE: the reference FARDiT crashes when external_cond_dim == 0 (its weight
+# init dereferences the None embedding), so both cases are label-conditioned
+@pytest.mark.parametrize("slope_scale,with_label", [(0.0, True), (0.05, True)])
+def test_far_dit_forward_parity(slope_scale, with_label):
+    """Frame-autoregressive DiT: Flux 3-axis RoPE, RMS q/k norm, frame-causal
+    attention with ALiBi-like slope bias (reference far_model.py)."""
+    far = load_reference_module("refalg.dfot.backbones.far.far_model")
+    from omegaconf import DictConfig
+
+    # patch_size=1 like the reference far_dit.yaml (its output head produces
+    # p^2 * (p^2 * C) channels, which only type-checks against x at p=1)
+    B, T, H, D = 2, 4, 4, 64
+    cfg = DictConfig(
+        dict(
+            hidden_size=D,
+            depth=2,
+            num_heads=2,
+            mlp_ratio=2.0,
+            patch_size=1,
+            axes_dims_rope=(8, 12, 12),
+            slope_scale=slope_scale,
+            external_cond_dropout=0.1,
+        )
+    )
+    cfg["external_cond_dropout"] = 0.0
+    ref = far.FARDiT(
+        cfg,
+        x_shape=torch.Size([3, H, H]),
+        max_tokens=T,
+        external_cond_type="label",
+        external_cond_num_classes=5 if with_label else None,
+        external_cond_dim=1 if with_label else 0,
+        use_causal_mask=True,
+    )
+    # eval-mode reference FAR slices to the LAST frame only (its AR-generation
+    # API, far_model.py:526-529); full-sequence parity needs train mode, with
+    # cond dropout disabled so it stays deterministic
+    ref.train()
+    _randomize(ref, seed=12)
+
+    from dfot_tpu.models.far import FARDiT, FARSpec
+    from dfot_tpu.utils.torch_ckpt import import_far_params
+
+    spec = FARSpec(
+        hidden_size=D, depth=2, num_heads=2, mlp_ratio=2.0, patch_size=1,
+        axes_dims_rope=(8, 12, 12), slope_scale=slope_scale,
+        max_temporal_length=T,
+    )
+    ours = FARDiT(
+        spec=spec, x_channels=3, resolution=(H, H),
+        external_cond_type="label" if with_label else None,
+        external_cond_dim=1 if with_label else 0,
+        external_cond_num_classes=5 if with_label else None,
+        external_cond_dropout=0.0,
+    )
+    params = import_far_params(_to_np(ref.state_dict()))
+
+    rng = np.random.RandomState(13)
+    x = rng.randn(B, T, 3, H, H).astype(np.float32)
+    k = rng.randint(0, 1000, size=(B, T)).astype(np.int64)
+    label = rng.randint(0, 5, size=(B, 1)).astype(np.int64)
+
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(x),
+            torch.from_numpy(k),
+            torch.from_numpy(label) if with_label else None,
+        )
+        ref_out = (ref_out[0] if isinstance(ref_out, tuple) else ref_out).numpy()
+
+    x_cl = np.transpose(x, (0, 1, 3, 4, 2))
+    out = ours.apply(
+        {"params": params},
+        jnp.asarray(x_cl),
+        jnp.asarray(k, jnp.float32),
+        jnp.asarray(label) if with_label else None,
+    )
+    out = np.transpose(np.asarray(out), (0, 1, 4, 2, 3))
+    np.testing.assert_allclose(out, ref_out, atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# DIT1D (1-D token latents)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "merge_mode,causal,rotary,qk_norm",
+    [
+        ("share_norm", "video_temporal_causal", False, False),  # dit1d.yaml
+        ("share_norm", None, False, True),
+        ("reproduce", "temporal_causal", False, False),
+        ("share_norm", None, True, False),
+    ],
+)
+def test_dit1d_forward_parity(merge_mode, causal, rotary, qk_norm):
+    dit1d = load_reference_module("refalg.dfot.backbones.dit1d.dit_model")
+    from omegaconf import DictConfig
+
+    B, T, L, C, D = 2, 4, 8, 4, 64
+    cfg = DictConfig(
+        dict(
+            hidden_size=D,
+            depth=2,
+            num_heads=4,
+            mlp_ratio=2.0,
+            learn_sigma=False,
+            merge_mode=merge_mode,
+            causal_attn_mode=causal,
+            use_rotary_emb=rotary,
+            qk_norm=qk_norm,
+        )
+    )
+    ref = dit1d.DIT1D(
+        cfg,
+        x_shape=torch.Size([C, 1, L]),
+        max_tokens=T,
+        external_cond_type="label",
+        external_cond_num_classes=None,
+        external_cond_dim=0,
+        use_causal_mask=False,
+    )
+    ref.eval()
+    _randomize(ref, seed=14)
+    if not rotary:
+        # pos_embed is a FROZEN sincos buffer in real checkpoints
+        # (dit_model.py:472-475); _randomize scrambled it (it is an
+        # nn.Parameter), so restore the table our importer regenerates
+        pe = dit1d.get_1d_sincos_pos_embed(D, T * L)
+        with torch.no_grad():
+            ref.pos_embed.copy_(torch.from_numpy(pe).float().unsqueeze(0))
+
+    from dfot_tpu.models.dit1d import DiT1D, DiT1DSpec
+    from dfot_tpu.utils.torch_ckpt import import_dit1d_params
+
+    spec = DiT1DSpec(
+        hidden_size=D, depth=2, num_heads=4, mlp_ratio=2.0, learn_sigma=False,
+        merge_mode=merge_mode, causal_attn_mode=causal, use_rotary_emb=rotary,
+        qk_norm=qk_norm, max_temporal_length=T,
+    )
+    ours = DiT1D(spec=spec, x_channels=C, n_tokens=L)
+    params = import_dit1d_params(_to_np(ref.state_dict()))
+
+    rng = np.random.RandomState(15)
+    x = rng.randn(B, T, C, L).astype(np.float32)
+    k = rng.randint(0, 1000, size=(B, T)).astype(np.int64)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x), torch.from_numpy(k)).numpy()
+
+    x_cl = np.transpose(x, (0, 1, 3, 2))  # (B, T, L, C)
+    out = ours.apply({"params": params}, jnp.asarray(x_cl), jnp.asarray(k, jnp.float32))
+    out = np.transpose(np.asarray(out), (0, 1, 3, 2))
+    np.testing.assert_allclose(out, ref_out, atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
 # UViT3D / UViT3DPose
 # ---------------------------------------------------------------------------
 
