@@ -81,3 +81,20 @@ def test_missing_override_key_raises():
 
     with pytest.raises(KeyError):
         load_config(["nonexistent.key=1"])
+
+
+def test_every_shortcut_preset_expands():
+    """All @shortcut presets (model-size tables mirrored from the reference)
+    flatten to forced overrides without error."""
+    import glob
+
+    presets = [
+        os.path.relpath(p, os.path.join(CONFIG_DIR, "shortcut"))[:-5]
+        for p in glob.glob(
+            os.path.join(CONFIG_DIR, "shortcut", "**", "*.yaml"), recursive=True
+        )
+    ]
+    assert len(presets) >= 45
+    for name in presets:
+        out = unwrap_shortcuts([f"@{name}"], CONFIG_DIR)
+        assert out and all(o.startswith("++") for o in out), name
