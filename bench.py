@@ -85,6 +85,16 @@ def build_flagship(tiny: bool):
         )
     )
     variables = init()
+    if not tiny:
+        # inference-cast the weights: bf16 params halve HBM weight traffic
+        # and remove the per-matmul f32->bf16 convert temps XLA otherwise
+        # materializes (the compute dtype is already bf16)
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if isinstance(a, jax.Array) and a.dtype == jnp.float32
+            else a,
+            variables,
+        )
     jax.block_until_ready(variables)
     return model, variables, res, T, pose_dim
 

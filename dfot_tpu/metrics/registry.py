@@ -136,6 +136,71 @@ class SharedMetricModelRegistry:
             self._models["laion"] = apply
         return self._models["laion"]
 
+    def raft(self) -> Optional[Callable]:
+        """Optical flow: (B, H, W, 3) uint8-range floats x2 -> (B, H, W, 2)
+        pixel flow (reference models/raft/; raft-things weights as raft.npz).
+
+        Unlike the encoder metrics there is NO random-weight fallback —
+        random-flow values are worse than the classical-flow path the
+        VBench dims otherwise use, so this returns None without weights."""
+        if "raft" not in self._models:
+            path = os.path.join(self.weights_dir or "", "raft.npz")
+            if not (self.weights_dir and os.path.exists(path)):
+                self.comparable["raft"] = False
+                self._models["raft"] = None
+                return None
+            from .raft import RAFT
+
+            model = RAFT(iters=20)
+            flat = dict(np.load(path))
+            params = _unflatten({k: jnp.asarray(v) for k, v in flat.items()})
+            init = model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3))
+            )["params"]
+            _check_tree("raft", path, params, init)
+            self.comparable["raft"] = True
+
+            @jax.jit
+            def apply(img1, img2):
+                return model.apply({"params": params}, img1, img2)
+
+            self._models["raft"] = apply
+        return self._models["raft"]
+
+    def amt(self) -> Optional[Callable]:
+        """Frame interpolation: (B, H, W, 3) in [0,1] x2 -> (B, H, W, 3)
+        middle frame (reference models/amt/; amt-s weights as amt.npz).
+        Like raft(), returns None without real weights — the classical
+        interpolation path is a better fallback than random weights."""
+        if "amt" not in self._models:
+            path = os.path.join(self.weights_dir or "", "amt.npz")
+            if not (self.weights_dir and os.path.exists(path)):
+                self.comparable["amt"] = False
+                self._models["amt"] = None
+                return None
+            from .amt import AMT_S
+
+            model = AMT_S()
+            flat = dict(np.load(path))
+            params = _unflatten({k: jnp.asarray(v) for k, v in flat.items()})
+            init = model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 128, 128, 3)), jnp.zeros((1, 128, 128, 3)),
+                jnp.full((1,), 0.5),
+            )["params"]
+            _check_tree("amt", path, params, init)
+            self.comparable["amt"] = True
+
+            @jax.jit
+            def apply(img0, img1):
+                B = img0.shape[0]
+                return model.apply(
+                    {"params": params}, img0, img1, jnp.full((B,), 0.5)
+                )
+
+            self._models["amt"] = apply
+        return self._models["amt"]
+
     def inception(self) -> Callable:
         """Frame features for FID: (B, H, W, 3) in [0,1] -> (B, 2048).
 

@@ -85,6 +85,65 @@ def motion_smoothness(videos: np.ndarray) -> float:
     return float(np.clip(1.0 - np.mean(errs), 0.0, 1.0))
 
 
+def _dynamic_degree_score(flows: np.ndarray, resolution: int) -> np.ndarray:
+    """Reference scoring rule on per-frame flows (vbench/dynamic_degree.py:
+    41-52): frame score = mean of the top-5% flow magnitudes."""
+    B = flows.shape[0]
+    rad = np.sqrt((flows**2).sum(-1)).reshape(B, -1)
+    k = max(1, int(rad.shape[1] * 0.05))
+    return np.sort(rad, axis=1)[:, -k:].mean(axis=1)
+
+
+def motion_smoothness_amt(videos: np.ndarray, amt_fn) -> float:
+    """motion_smoothness with the real AMT-S interpolator (the reference
+    path, vbench/motion_smoothness.py:32-49): drop odd frames, interpolate
+    them from the even frames, score (255 - MAE) / 255. videos (B, T, H,
+    W, C) in [0, 1]; H, W must be divisible by 16 (callers resize/pad)."""
+    B, T = videos.shape[:2]
+    if T < 3:
+        return 1.0
+    u8 = np.round(np.clip(videos, 0, 1) * 255.0)
+    even = u8[:, ::2]
+    odd = u8[:, 1::2]
+    n_pairs = even.shape[1] - 1
+    f0 = even[:, :-1].reshape((-1,) + even.shape[2:]) / 255.0
+    f1 = even[:, 1:].reshape((-1,) + even.shape[2:]) / 255.0
+    interp = np.asarray(amt_fn(f0, f1))
+    # uint8 quantization like the reference AMT wrapper (__init__.py:33)
+    interp = np.round(np.clip(interp * 255.0, 0, 255))
+    interp = interp.reshape((B, n_pairs) + interp.shape[1:])
+    odd = odd[:, :n_pairs]
+    mae = np.abs(odd - interp).mean()
+    return float((255.0 - mae) / 255.0)
+
+
+def dynamic_degree_raft(videos: np.ndarray, raft_fn, resolution: int = 224) -> float:
+    """dynamic_degree with real RAFT flow (the reference path,
+    vbench/dynamic_degree.py:54-67): videos (B, T, H, W, C) in [0, 1]."""
+    import cv2
+
+    B, T = videos.shape[:2]
+    if T < 2:
+        return 0.0
+    thr = 6.0 * (resolution / 256.0)
+    count_threshold = round(4 * (T / 16.0))
+    u8 = (np.clip(videos, 0, 1) * 255).astype(np.float32)
+    frames = np.stack(
+        [
+            [cv2.resize(u8[b, t], (resolution, resolution)) for t in range(T)]
+            for b in range(B)
+        ]
+    )
+    if frames.ndim == 4:  # grayscale collapsed by cv2
+        frames = np.repeat(frames[..., None], 3, axis=-1)
+    dynamic = 0
+    for b in range(B):
+        flow = np.asarray(raft_fn(frames[b, :-1], frames[b, 1:]))
+        moving = (_dynamic_degree_score(flow, resolution) > thr).sum()
+        dynamic += moving >= count_threshold
+    return float(dynamic / B)
+
+
 def dynamic_degree(videos: np.ndarray, resolution: int = 224) -> float:
     """Fraction of dynamic videos, scored with the reference's exact rule
     (vbench/dynamic_degree.py): per consecutive-frame optical flow, frame
@@ -154,9 +213,17 @@ class VBenchQuality:
             if dim == "temporal_flickering":
                 self._scores[dim].append(temporal_flickering(videos))
             elif dim == "motion_smoothness":
-                self._scores[dim].append(motion_smoothness(videos))
+                amt_fn = self.registry.amt() if self.registry is not None else None
+                if amt_fn is not None and videos.shape[2] % 16 == 0 and videos.shape[3] % 16 == 0:
+                    self._scores[dim].append(motion_smoothness_amt(videos, amt_fn))
+                else:
+                    self._scores[dim].append(motion_smoothness(videos))
             elif dim == "dynamic_degree":
-                self._scores[dim].append(dynamic_degree(videos))
+                raft_fn = self.registry.raft() if self.registry is not None else None
+                if raft_fn is not None:
+                    self._scores[dim].append(dynamic_degree_raft(videos, raft_fn))
+                else:
+                    self._scores[dim].append(dynamic_degree(videos))
             elif self.registry is not None and dim in (
                 "subject_consistency", "background_consistency",
                 "aesthetic_quality",
@@ -200,7 +267,7 @@ class VBenchQuality:
     # Flow-based dims use classical optical flow until RAFT weights are
     # supplied ("raft"); pure-pixel temporal_flickering is always comparable.
     _DIM_MODELS = {
-        "motion_smoothness": ("raft",),
+        "motion_smoothness": ("amt",),  # reference interpolates with AMT-S
         "dynamic_degree": ("raft",),
         "subject_consistency": ("dino",),
         "background_consistency": ("clip_b32",),

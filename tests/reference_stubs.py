@@ -441,4 +441,12 @@ def load_reference_module(dotted: str):
     install_stubs()
     _register_namespace("refalg", f"{REF_ROOT}/algorithms")
     _register_namespace("refalg.dfot", f"{REF_ROOT}/algorithms/dfot")
+    # the metrics model files use absolute `algorithms.common...` imports and
+    # live under heavyweight __init__ packages — register the chain as
+    # namespaces so only the leaf modules execute
+    chain = "algorithms/common/metrics/video/models/raft".split("/")
+    for i in range(len(chain)):
+        _register_namespace(
+            ".".join(chain[: i + 1]), f"{REF_ROOT}/" + "/".join(chain[: i + 1])
+        )
     return importlib.import_module(dotted)

@@ -361,3 +361,84 @@ def test_inception_v3_import_and_registry(tmp_path):
     feats = reg.inception()(jnp.zeros((2, 16, 16, 3)))
     assert feats.shape == (2, 2048)
     assert reg.comparable["inception"] is True
+
+
+def test_raft_registry_gating(tmp_path):
+    """Without raft.npz the registry returns None (no random-flow fallback);
+    with converted weights it loads and computes flow, and dynamic_degree
+    goes through the RAFT path."""
+    from dfot_tpu.metrics import SharedMetricModelRegistry
+    from dfot_tpu.metrics.raft import RAFT, import_raft_params
+
+    reg = SharedMetricModelRegistry(weights_dir=str(tmp_path))
+    assert reg.raft() is None
+    assert reg.comparable["raft"] is False
+
+    # fabricate a reference-shaped checkpoint via our own init -> export is
+    # circular, so build torch-keyed arrays directly from a flax init
+    import jax
+    import jax.numpy as jnp
+
+    model = RAFT(iters=2)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3))
+    )["params"]
+
+    def _flatten(tree, prefix=""):
+        out = {}
+        for k, v in tree.items():
+            key = f"{prefix}/{k}" if prefix else k
+            out.update(_flatten(v, key)) if isinstance(v, dict) else out.update({key: np.asarray(v)})
+        return out
+
+    np.savez(tmp_path / "raft.npz", **_flatten(params))
+    reg2 = SharedMetricModelRegistry(weights_dir=str(tmp_path))
+    fn = reg2.raft()
+    assert fn is not None and reg2.comparable["raft"] is True
+    flow = fn(np.zeros((1, 64, 64, 3), np.float32), np.zeros((1, 64, 64, 3), np.float32))
+    assert flow.shape == (1, 64, 64, 2)
+
+    from dfot_tpu.metrics.vbench import dynamic_degree_raft
+
+    videos = np.random.RandomState(0).rand(1, 4, 32, 32, 3).astype(np.float32)
+    score = dynamic_degree_raft(videos, fn, resolution=64)
+    assert score in (0.0, 1.0)
+
+
+def test_amt_registry_gating(tmp_path):
+    """Without amt.npz the registry returns None; with weights it loads and
+    motion_smoothness goes through the AMT interpolation path."""
+    from dfot_tpu.metrics import SharedMetricModelRegistry
+    from dfot_tpu.metrics.amt import AMT_S
+
+    reg = SharedMetricModelRegistry(weights_dir=str(tmp_path))
+    assert reg.amt() is None
+    assert reg.comparable["amt"] is False
+
+    import jax
+    import jax.numpy as jnp
+
+    model = AMT_S()
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 128, 128, 3)), jnp.zeros((1, 128, 128, 3)),
+        jnp.full((1,), 0.5),
+    )["params"]
+
+    def _flatten(tree, prefix=""):
+        out = {}
+        for k, v in tree.items():
+            key = f"{prefix}/{k}" if prefix else k
+            out.update(_flatten(v, key)) if isinstance(v, dict) else out.update({key: np.asarray(v)})
+        return out
+
+    np.savez(tmp_path / "amt.npz", **_flatten(params))
+    reg2 = SharedMetricModelRegistry(weights_dir=str(tmp_path))
+    fn = reg2.amt()
+    assert fn is not None and reg2.comparable["amt"] is True
+
+    from dfot_tpu.metrics.vbench import motion_smoothness_amt
+
+    videos = np.random.RandomState(0).rand(1, 5, 128, 128, 3).astype(np.float32)
+    score = motion_smoothness_amt(videos, fn)
+    assert 0.0 <= score <= 1.0

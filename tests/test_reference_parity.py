@@ -761,3 +761,108 @@ def test_ddim_sample_step_parity():
     )
     out = np.transpose(np.asarray(out), (0, 1, 4, 2, 3))
     np.testing.assert_allclose(out, ref_out, atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# RAFT optical flow (eval model)
+# ---------------------------------------------------------------------------
+
+
+def test_raft_forward_parity():
+    """Flax RAFT vs the reference torch RAFT (metrics/video/models/raft):
+    identical random weights, identical images -> same flow field. Covers
+    the encoders (instance + frozen batch norm), the correlation pyramid
+    lookup, the scanned GRU refinement, and convex upsampling."""
+    raft_ref = load_reference_module(
+        "algorithms.common.metrics.video.models.raft.raft"
+    )
+
+    class Args(dict):
+        __getattr__ = dict.__getitem__
+        __setattr__ = dict.__setitem__
+
+    args = Args(small=False, mixed_precision=False, alternate_corr=False)
+    ref = raft_ref.RAFT(args)
+    ref.eval()
+    _randomize(ref, seed=21)
+    # batch-norm running stats are buffers (not parameters): give them
+    # non-degenerate values too, as a real checkpoint would
+    g = torch.Generator().manual_seed(22)
+    with torch.no_grad():
+        for name, b in ref.named_buffers():
+            if name.endswith("running_mean"):
+                b.copy_(torch.randn(b.shape, generator=g) * 0.05)
+            elif name.endswith("running_var"):
+                b.copy_(1.0 + 0.1 * torch.rand(b.shape, generator=g))
+
+    from dfot_tpu.metrics.raft import RAFT, import_raft_params
+
+    iters = 4
+    ours = RAFT(iters=iters)
+    params = import_raft_params(
+        {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    )
+
+    rng = np.random.RandomState(23)
+    img1 = (rng.rand(1, 3, 128, 128) * 255).astype(np.float32)
+    img2 = (rng.rand(1, 3, 128, 128) * 255).astype(np.float32)
+
+    with torch.no_grad():
+        _, flow_ref = ref(
+            torch.from_numpy(img1), torch.from_numpy(img2),
+            iters=iters, test_mode=True,
+        )
+    flow_ref = flow_ref.numpy()  # (1, 2, H, W)
+
+    out = ours.apply(
+        {"params": params},
+        jnp.asarray(np.transpose(img1, (0, 2, 3, 1))),
+        jnp.asarray(np.transpose(img2, (0, 2, 3, 1))),
+    )
+    out = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    np.testing.assert_allclose(out, flow_ref, atol=1e-3, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# AMT-S frame interpolation (eval model)
+# ---------------------------------------------------------------------------
+
+
+def test_amt_s_forward_parity():
+    """Flax AMT-S vs the reference torch AMT-S (metrics/video/models/amt):
+    identical random weights + frames -> same interpolated middle frame.
+    Covers the instance-norm feature encoder, the bidirectional correlation
+    pyramid, all four decoder levels with warping, the per-level update
+    blocks (incl. their internal resizes), and multi-flow combination."""
+    amt_ref = load_reference_module(
+        "algorithms.common.metrics.video.models.amt.amt_s"
+    )
+    ref = amt_ref.AMT_S(corr_radius=3, corr_lvls=4, num_flows=3)
+    ref.eval()
+    _randomize(ref, seed=31)
+
+    from dfot_tpu.metrics.amt import AMT_S, import_amt_params
+
+    ours = AMT_S()
+    params = import_amt_params(
+        {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    )
+
+    rng = np.random.RandomState(32)
+    img0 = rng.rand(1, 3, 128, 128).astype(np.float32)
+    img1 = rng.rand(1, 3, 128, 128).astype(np.float32)
+    embt = torch.ones(1, 1, 1, 1) * 0.5
+
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(img0), torch.from_numpy(img1), embt, eval=True
+        )["imgt_pred"].numpy()
+
+    out = ours.apply(
+        {"params": params},
+        jnp.asarray(np.transpose(img0, (0, 2, 3, 1))),
+        jnp.asarray(np.transpose(img1, (0, 2, 3, 1))),
+        jnp.full((1,), 0.5),
+    )
+    out = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    np.testing.assert_allclose(out, ref_out, atol=1e-4, rtol=1e-4)
