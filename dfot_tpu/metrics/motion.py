@@ -189,10 +189,14 @@ def calc_hist(
 
 def motion_features(
     videos: np.ndarray, resolution: int = 256, segment_length: int = 16,
-    num_points: int = 400, levels: int = 3,
+    num_points: int = 400, levels: int = 3, track_fn=None,
 ) -> np.ndarray:
     """(B, T>=16, H, W, C) in [0, 1] -> (num_segments_total, 1024) features
-    (velocity + acceleration histograms; reference MotionExtractor.forward)."""
+    (velocity + acceleration histograms; reference MotionExtractor.forward).
+
+    track_fn(frames (S, H, W, C) in [0, 1], pts0 (N, 2)) -> (S, N, 2)
+    overrides the LK tracker — pass ``registry.pips()`` for the reference's
+    PIPS2 tracking (published-table-comparable FVMD)."""
     import jax
     import jax.numpy as jnp
 
@@ -212,7 +216,11 @@ def motion_features(
     vels, accs = [], []
     for b in range(B):
         for start in range(0, T - segment_length + 1, segment_length - 1):
-            trajs = lk_track(v[b, start : start + segment_length], pts0, levels)
+            seg = v[b, start : start + segment_length]
+            if track_fn is not None:
+                trajs = np.asarray(track_fn(seg, pts0))
+            else:
+                trajs = lk_track(seg, pts0, levels)
             vel = _calc_velocity(trajs)
             vels.append(vel)
             accs.append(_calc_acceleration(vel))

@@ -201,6 +201,49 @@ class SharedMetricModelRegistry:
             self._models["amt"] = apply
         return self._models["amt"]
 
+    def pips(self) -> Optional[Callable]:
+        """Point tracker for FVMD: track_fn(frames (S, H, W, C) in [0, 1],
+        pts0 (N, 2)) -> trajectories (S, N, 2) using PIPS2 (reference
+        models/pips2.py; pips2_weights as pips.npz). Returns None without
+        real weights — the LK tracker is a better substitute than random
+        weights."""
+        if "pips" not in self._models:
+            path = os.path.join(self.weights_dir or "", "pips.npz")
+            if not (self.weights_dir and os.path.exists(path)):
+                self.comparable["pips"] = False
+                self._models["pips"] = None
+                return None
+            from .pips import Pips
+
+            model = Pips(iters=16)
+            flat = dict(np.load(path))
+            params = _unflatten({k: jnp.asarray(v) for k, v in flat.items()})
+            init = model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((2, 4, 2)), jnp.zeros((2, 128, 128, 3)),
+            )["params"]
+            _check_tree("pips", path, params, init)
+            self.comparable["pips"] = True
+
+            @jax.jit
+            def apply(trajs0, rgbs):
+                return model.apply({"params": params}, trajs0, rgbs)
+
+            def track(frames, pts0):
+                frames = jnp.asarray(frames, jnp.float32)
+                if frames.ndim == 3:
+                    frames = frames[..., None]
+                if frames.shape[-1] == 1:
+                    frames = jnp.repeat(frames, 3, -1)
+                S = frames.shape[0]
+                trajs0 = jnp.broadcast_to(
+                    jnp.asarray(pts0, jnp.float32)[None], (S,) + pts0.shape
+                )
+                return np.asarray(apply(trajs0, frames * 2.0 - 1.0))
+
+            self._models["pips"] = track
+        return self._models["pips"]
+
     def inception(self) -> Callable:
         """Frame features for FID: (B, H, W, 3) in [0,1] -> (B, 2048).
 

@@ -124,14 +124,16 @@ class VideoMetric:
         if "fvmd" in self.metric_types and preds.shape[1] >= 16:
             # Frechet video MOTION distance (reference fvmd.py requires
             # >= 16 frames and skips otherwise, :36-40): velocity +
-            # acceleration histograms over tracked points. Tracking uses a
-            # weight-free LK tracker instead of pretrained PIPS -> flagged
-            # non-comparable to published FVMD tables.
+            # acceleration histograms over tracked points. With converted
+            # PIPS2 weights (pips.npz) tracking matches the reference;
+            # otherwise a weight-free LK tracker substitutes and the score
+            # is flagged non-comparable to published FVMD tables.
             from .motion import motion_features
 
-            self.registry.comparable.setdefault("fvmd", False)
+            track_fn = self.registry.pips()
+            self.registry.comparable["fvmd"] = track_fn is not None
             for vids, real in ((targets, True), (preds, False)):
-                self._fvmd.update(motion_features(vids), real)
+                self._fvmd.update(motion_features(vids, track_fn=track_fn), real)
         self._count += B
 
     def _acc_frame(self, name: str, per_frame, eval_mask: np.ndarray) -> None:

@@ -45,7 +45,7 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--kind", required=True,
                     choices=["clip_b32", "clip_l14", "dino", "laion",
-                             "inception", "lpips", "i3d", "raft", "amt", "dc_ae", "titok"])
+                             "inception", "lpips", "i3d", "raft", "amt", "pips", "dc_ae", "titok"])
     ap.add_argument("--src", required=True, help="torch checkpoint path")
     ap.add_argument("--vgg", help="torchvision vgg16 state dict (lpips only)")
     ap.add_argument("--out", help="output .npz (default <kind>.npz beside src)")
@@ -87,6 +87,10 @@ def main() -> None:
         from dfot_tpu.metrics.amt import import_amt_params
 
         tree = import_amt_params(state)
+    elif kind == "pips":
+        from dfot_tpu.metrics.pips import import_pips_params
+
+        tree = import_pips_params(state)
     elif kind == "dc_ae":
         from dfot_tpu.vae import import_dc_ae_params
 

@@ -442,3 +442,41 @@ def test_amt_registry_gating(tmp_path):
     videos = np.random.RandomState(0).rand(1, 5, 128, 128, 3).astype(np.float32)
     score = motion_smoothness_amt(videos, fn)
     assert 0.0 <= score <= 1.0
+
+
+def test_pips_registry_gating(tmp_path):
+    """Without pips.npz the registry returns None (FVMD keeps the LK
+    tracker, flagged uncalibrated); with weights the PIPS2 tracker drives
+    motion_features and fvmd is marked comparable."""
+    from dfot_tpu.metrics import SharedMetricModelRegistry, VideoMetric
+    from dfot_tpu.metrics.pips import Pips
+
+    reg = SharedMetricModelRegistry(weights_dir=str(tmp_path))
+    assert reg.pips() is None
+
+    import jax
+    import jax.numpy as jnp
+
+    model = Pips(iters=16)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 4, 2)), jnp.zeros((2, 128, 128, 3))
+    )["params"]
+
+    def _flatten(tree, prefix=""):
+        out = {}
+        for k, v in tree.items():
+            key = f"{prefix}/{k}" if prefix else k
+            out.update(_flatten(v, key)) if isinstance(v, dict) else out.update({key: np.asarray(v)})
+        return out
+
+    np.savez(tmp_path / "pips.npz", **_flatten(params))
+    reg2 = SharedMetricModelRegistry(weights_dir=str(tmp_path))
+    track = reg2.pips()
+    assert track is not None and reg2.comparable["pips"] is True
+
+    frames = np.random.RandomState(0).rand(4, 128, 128, 3).astype(np.float32)
+    pts = np.array([[20.0, 20.0], [100.0, 60.0]], np.float32)
+    trajs = track(frames, pts)
+    assert trajs.shape == (4, 2, 2)
+    # frame 0 stays locked to the query points
+    np.testing.assert_allclose(trajs[0], pts, atol=1e-4)

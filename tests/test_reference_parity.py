@@ -866,3 +866,58 @@ def test_amt_s_forward_parity():
     )
     out = np.transpose(np.asarray(out), (0, 3, 1, 2))
     np.testing.assert_allclose(out, ref_out, atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# PIPS2 point tracking (eval model)
+# ---------------------------------------------------------------------------
+
+
+def test_pips2_forward_parity():
+    """Flax Pips vs the reference torch Pips (metrics/video/models/pips2):
+    identical random weights + frames + query grid -> same trajectories.
+    Covers the multi-scale instance-norm encoder (align-corners resizes),
+    per-iteration correlation pyramids with temporal context (t, t-2, t-4),
+    the 1-D ResNet delta block, and the beautify/lock-frame-0 loop."""
+    pips_ref = load_reference_module(
+        "algorithms.common.metrics.video.models.pips2"
+    )
+    ref = pips_ref.Pips(stride=8)
+    ref.eval()
+    _randomize(ref, seed=41)
+
+    from dfot_tpu.metrics.pips import Pips, import_pips_params
+
+    params = import_pips_params(
+        {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    )
+
+    rng = np.random.RandomState(42)
+    S, N, H = 6, 16, 128
+    rgbs = (rng.rand(1, S, 3, H, H) * 2 - 1).astype(np.float32)
+    side = 4
+    lin = 8 + np.arange(side, dtype=np.float32) / (side - 1) * (H - 16)
+    gy, gx = np.meshgrid(lin, lin, indexing="ij")
+    pts = np.stack([gx.reshape(-1), gy.reshape(-1)], -1)  # (N, 2)
+    trajs0 = np.broadcast_to(pts[None, None], (1, S, N, 2)).copy()
+
+    # NOTE on tolerances: with random (untrained) weights the refinement
+    # loop is chaotic — a float-level delta difference moves the next
+    # iteration's correlation-window sample points, so trajectory error
+    # grows multiplicatively per iteration. iters=1 checks the whole
+    # pipeline tightly; iters=2 additionally exercises the t-2/t-4
+    # temporal-context resampling path (itr >= 1) at a looser tolerance.
+    for iters, atol in ((1, 1e-2), (2, 0.2)):
+        with torch.no_grad():
+            preds = ref(
+                torch.from_numpy(trajs0.copy()), torch.from_numpy(rgbs),
+                iters=iters, feat_init=None, beautify=True,
+            )
+        ref_out = preds[-1].numpy()[0]  # (S, N, 2)
+
+        out = Pips(iters=iters, beautify=True).apply(
+            {"params": params},
+            jnp.asarray(trajs0[0]),
+            jnp.asarray(np.transpose(rgbs[0], (0, 2, 3, 1))),
+        )
+        np.testing.assert_allclose(np.asarray(out), ref_out, atol=atol)
