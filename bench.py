@@ -145,11 +145,13 @@ def main():
     flops_per_fwd = _flops_of(compiled)
     out = fwd(variables, x1, k1, p1, None)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
+    # time with a host-side fetch per call: on tunneled platforms
+    # block_until_ready can return at dispatch, inflating FLOP/s
     n_fwd = 5
+    t0 = time.perf_counter()
     for _ in range(n_fwd):
         out = fwd(variables, x1, k1, p1, None)
-    jax.block_until_ready(out)
+        np.asarray(jax.device_get(out))
     fwd_sec = (time.perf_counter() - t0) / n_fwd
     fwd_mfu = flops_per_fwd / fwd_sec / V5E_PEAK_FLOPS
 
@@ -222,6 +224,12 @@ def main():
     rollout_flops = evals * flops_per_fwd
     rollout_mfu = rollout_flops / min(times) / V5E_PEAK_FLOPS
 
+    extras = {}
+    for k in ("keyframe_sec", "interp_sec", "keyframe_evals_b1"):
+        if k in ro.stats:
+            v = ro.stats[k]
+            extras[k] = round(v, 2) if isinstance(v, float) else v // args.repeats
+
     print(json.dumps({
         "metric": metric,
         "value": round(fps, 3),
@@ -234,6 +242,7 @@ def main():
         "denoiser_evals_b1": evals,
         "rollout_mfu": round(rollout_mfu, 4),
         "peak_flops_ref": V5E_PEAK_FLOPS,
+        **extras,
     }))
 
 

@@ -66,6 +66,28 @@ def _mp4_length(path: str) -> int:
     return n
 
 
+def video_timestamps(path: str) -> tuple:
+    """Per-frame presentation timestamps + fps for one video file.
+
+    Counterpart of the reference's metadata build step
+    (datasets/video/base_video.py:95-160, via torchvision
+    read_video_timestamps): returns (pts_ms float64 (N,), fps float).
+    Walks the container with grab() (no pixel decode), so variable-frame-
+    rate files get their true timestamps rather than frame_index / fps.
+    """
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    pts = []
+    try:
+        fps = float(cap.get(cv2.CAP_PROP_FPS)) or 0.0
+        while cap.grab():
+            pts.append(cap.get(cv2.CAP_PROP_POS_MSEC))
+    finally:
+        cap.release()
+    return np.asarray(pts, np.float64), fps
+
+
 def _mp4_read(path: str, start: int, end: int) -> np.ndarray:
     """Decode frames [start, end) as (N, H, W, 3) RGB uint8."""
     import cv2
@@ -143,13 +165,24 @@ class VideoDataset:
         cache = os.path.join(self.save_dir, "metadata", f"{self.split}.npz")
         if os.path.exists(cache):
             data = np.load(cache, allow_pickle=True)
-            return [
+            metadata = [
                 {"path": str(p), "length": int(l)}
                 for p, l in zip(data["paths"], data["lengths"])
             ]
+            # pts/fps present only in caches built from video containers
+            # (older caches carry paths+lengths only — stay loadable)
+            if "fps" in data:
+                offsets = data["pts_offsets"]
+                for i, m in enumerate(metadata):
+                    m["fps"] = float(data["fps"][i])
+                    m["pts"] = data["pts"][offsets[i] : offsets[i + 1]]
+            return metadata
         split_dir = self._split_dir()
         if not os.path.isdir(split_dir):
             raise FileNotFoundError(f"dataset split directory not found: {split_dir}")
+        # per-frame pts build (reference base_video.py:95-160) walks every
+        # container with grab(); opt out via dataset.metadata_timestamps=false
+        want_pts = bool(self.cfg.get("metadata_timestamps", True))
         metadata = []
         for root, _dirs, files in sorted(os.walk(split_dir)):
             for name in sorted(files):
@@ -160,16 +193,29 @@ class VideoDataset:
                 elif name.endswith(".npy"):
                     length = np.load(path, mmap_mode="r").shape[0]
                 elif name.lower().endswith(_VIDEO_EXTS):
+                    if want_pts:
+                        pts, fps = video_timestamps(path)
+                        metadata.append(
+                            {"path": path, "length": len(pts), "fps": fps, "pts": pts}
+                        )
+                        continue
                     length = _mp4_length(path)
                 else:
                     continue
                 metadata.append({"path": path, "length": length})
         os.makedirs(os.path.join(self.save_dir, "metadata"), exist_ok=True)
-        np.savez(
-            cache,
-            paths=np.asarray([m["path"] for m in metadata]),
-            lengths=np.asarray([m["length"] for m in metadata]),
-        )
+        arrays = {
+            "paths": np.asarray([m["path"] for m in metadata]),
+            "lengths": np.asarray([m["length"] for m in metadata]),
+        }
+        if any("pts" in m for m in metadata):
+            pts_list = [np.asarray(m.get("pts", []), np.float64) for m in metadata]
+            arrays["fps"] = np.asarray([m.get("fps", 0.0) for m in metadata])
+            arrays["pts"] = (
+                np.concatenate(pts_list) if pts_list else np.zeros(0)
+            )
+            arrays["pts_offsets"] = np.cumsum([0] + [len(p) for p in pts_list])
+        np.savez(cache, **arrays)
         return metadata
 
     # -- loading -----------------------------------------------------------

@@ -319,7 +319,11 @@ class DFoTRollout:
             else:
                 key_conditions = conditions[:, jnp.asarray(keys)]
 
+        import time as _time
+
         rng, r_pred = jax.random.split(rng)
+        t0 = _time.perf_counter()
+        ev0 = self.stats["denoiser_evals_b1"]
         xs_key = self.predict_sequence(
             variables,
             r_pred,
@@ -329,12 +333,21 @@ class DFoTRollout:
             history_guidance=prediction_hg,
             sliding_context_len=cfg.sliding_context_len or cfg.max_tokens // 2,
         )
+        jax.block_until_ready(xs_key)
+        self.stats["keyframe_sec"] = (
+            self.stats.get("keyframe_sec", 0.0) + _time.perf_counter() - t0
+        )
+        self.stats["keyframe_evals_b1"] = (
+            self.stats.get("keyframe_evals_b1", 0)
+            + self.stats["denoiser_evals_b1"] - ev0
+        )
         xs_pred = xs.at[:, jnp.asarray(keys)].set(xs_key.astype(xs.dtype))
 
         if len(keys) < T:
             mask = np.zeros((B, T), dtype=bool)
             mask[:, keys] = True
             rng, r_interp = jax.random.split(rng)
+            t1 = _time.perf_counter()
             xs_pred = self.interpolate_videos(
                 variables,
                 r_interp,
@@ -342,6 +355,10 @@ class DFoTRollout:
                 mask,
                 conditions=conditions,
                 history_guidance=interpolation_hg,
+            )
+            jax.block_until_ready(xs_pred)
+            self.stats["interp_sec"] = (
+                self.stats.get("interp_sec", 0.0) + _time.perf_counter() - t1
             )
         return xs_pred
 

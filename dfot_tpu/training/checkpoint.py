@@ -16,7 +16,10 @@ from typing import Any, Dict, Optional
 import numpy as np
 import orbax.checkpoint as ocp
 
-__all__ = ["save_checkpoint", "latest_checkpoint", "restore_checkpoint"]
+__all__ = [
+    "save_checkpoint", "latest_checkpoint", "restore_checkpoint",
+    "register_run", "resolve_run_checkpoint",
+]
 
 _STEP_RE = re.compile(r"checkpoint_(\d+)$")
 
@@ -55,6 +58,56 @@ def save_checkpoint(
         for old in steps[:-save_top_k]:
             shutil.rmtree(os.path.join(ckpt_dir, f"checkpoint_{old}"), ignore_errors=True)
     return path
+
+
+def register_run(output_root: str, name: str, output_dir: str) -> str:
+    """Append this run to the local run registry and return its run id.
+
+    Offline counterpart of the reference's wandb run tracking
+    (utils/ckpt_utils.py:85-121 resolves ``load=<wandb-run-id>`` to that
+    run's checkpoints): every launch records {run_id, name, output_dir} in
+    ``{output_root}/registry.jsonl`` so ``load=<run-id>`` / ``load=<name>``
+    resolve without any network service."""
+    import hashlib
+    import json
+    import time
+
+    run_id = hashlib.sha1(
+        f"{name}|{output_dir}|{time.time_ns()}".encode()
+    ).hexdigest()[:8]
+    os.makedirs(output_root, exist_ok=True)
+    with open(os.path.join(output_root, "registry.jsonl"), "a") as f:
+        f.write(
+            json.dumps(
+                {"run_id": run_id, "name": name, "output_dir": os.path.abspath(output_dir)}
+            )
+            + "\n"
+        )
+    return run_id
+
+
+def resolve_run_checkpoint(load: str, output_root: str) -> Optional[str]:
+    """Resolve ``load=<run-id-or-name>`` through the local run registry to
+    that run's latest checkpoint dir (latest matching run wins). Returns
+    None when nothing matches — callers fall back to treating ``load`` as a
+    filesystem path."""
+    import json
+
+    reg = os.path.join(output_root, "registry.jsonl")
+    if not os.path.exists(reg):
+        return None
+    match = None
+    with open(reg) as f:
+        for line in f:
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if load in (rec.get("run_id"), rec.get("name")):
+                match = rec
+    if match is None:
+        return None
+    return latest_checkpoint(os.path.join(match["output_dir"], "checkpoints"))
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:

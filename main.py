@@ -71,7 +71,19 @@ def run(argv):
         stamp,
     )
 
+    from dfot_tpu.training.checkpoint import register_run, resolve_run_checkpoint
+
+    run_id = register_run(str(cfg.output_dir), str(cfg.name), output_dir)
+    print(f"run id: {run_id} (load={run_id} resumes this run's checkpoints)")
+
     load = cfg.get("load") or cfg.get("resume")
+    if load and not os.path.exists(str(load)) and not str(load).startswith("pretrained:"):
+        # reference: load=<wandb-run-id> resolves through the run registry
+        # (utils/ckpt_utils.py:85-121); here the local registry.jsonl
+        resolved = resolve_run_checkpoint(str(load), str(cfg.output_dir))
+        if resolved is not None:
+            print(f"resolved load={load} -> {resolved}")
+            load = resolved
     experiment = build_experiment(cfg, output_dir, load)
     for task in cfg.experiment.tasks:
         experiment.exec_task(task)

@@ -215,6 +215,11 @@ def test_mp4_video_dataset(tmp_path):
     assert item["conds"].shape == ()  # class label from the parent dir
     labels = {int(ds[i]["conds"]) for i in (0, len(ds) - 1)}
     assert labels == {0, 1}
-    # metadata cache round-trips
+    # metadata cache round-trips, including per-frame pts + fps
+    # (reference base_video.py:95-160 metadata build)
     ds2 = VideoDataset(cfg, "training")
     assert [m["length"] for m in ds2.metadata] == [10, 10]
+    for m in ds2.metadata:
+        assert m["fps"] == 10.0
+        assert len(m["pts"]) == 10
+        assert np.all(np.diff(m["pts"]) > 0)  # monotonic timestamps

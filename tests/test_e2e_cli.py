@@ -104,3 +104,44 @@ def test_mid_training_sampled_validation(tmp_path):
     videos = os.listdir(os.path.join(exp.output_dir, "videos"))
     assert any(v.startswith("denoising_vis_step") for v in videos)
     assert any(v.startswith("prediction_validation_step") for v in videos)
+
+
+def test_load_by_run_id_and_name(trained_run, tmp_path):
+    """load=<run-id> / load=<name> resolve through the local run registry
+    (offline counterpart of the reference's wandb-run-id checkpoint
+    resolution, utils/ckpt_utils.py:85-121)."""
+    import json
+
+    from dfot_tpu.training.checkpoint import resolve_run_checkpoint
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.dirname(trained_run.output_dir))
+        )))
+    )
+    reg = os.path.join(root, "registry.jsonl")
+    assert os.path.exists(reg)
+    with open(reg) as f:
+        recs = [json.loads(l) for l in f]
+    rec = [r for r in recs if r["output_dir"] == os.path.abspath(trained_run.output_dir)][-1]
+
+    by_id = resolve_run_checkpoint(rec["run_id"], root)
+    by_name = resolve_run_checkpoint("e2e_smoke", root)
+    assert by_id is not None and by_id.startswith(os.path.abspath(trained_run.output_dir))
+    assert by_name == by_id
+    assert resolve_run_checkpoint("no-such-run", root) is None
+
+    # full CLI drive: validate from the run id
+    import main as cli
+
+    overrides = TINY_OVERRIDES + [
+        f"output_dir={root}",
+        "experiment.tasks=[validation]",
+        f"load={rec['run_id']}",
+        "++algorithm.logging.metrics=[mse]",
+        "++algorithm.tasks.interpolation.enabled=false",
+    ]
+    exp = cli.run(overrides)
+    with open(os.path.join(exp.output_dir, "metrics.jsonl")) as f:
+        lines = [json.loads(l) for l in f]
+    assert any("prediction/mse" in k for l in lines for k in l)
