@@ -607,6 +607,7 @@ class VideoGenerationExperiment:
             import_dit1d_params,
             import_dit3d_params,
             import_far_params,
+            import_unet3d_params,
             import_uvit3d_params,
             load_state_dict,
             strip_checkpoint,
@@ -626,6 +627,12 @@ class VideoGenerationExperiment:
             )
         if name == "far_dit":
             return import_far_params(state)
+        if name == "u_net3d":
+            return import_unet3d_params(
+                state,
+                num_res_blocks=bcfg.num_res_blocks,
+                num_levels=len(bcfg.dim_mults),
+            )
         if name == "dit1d":
             return import_dit1d_params(state)
         raise NotImplementedError(f"torch import for backbone {name!r} not wired")

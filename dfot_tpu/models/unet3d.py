@@ -7,6 +7,18 @@ pseudo-3D ResNet blocks (per-frame spatial convs + per-frame FiLM from the
 (linear-attention option), temporal attention with rotary time embeddings
 (causal mask supported — this is the causal backbone family), U-Net skips by
 channel concatenation.
+
+Checkpoint-parity notes (verified by tests/test_reference_parity.py):
+- GroupNorm statistics span (T, H, W) exactly like the reference's
+  Conv3d-layout GroupNorm (u_net_blocks.py:26) — this leaks future frames
+  through the normalizer even under causal attention, a quirk the
+  reference has. ``UNet3DSpec.frame_local_norm=True`` switches every
+  GroupNorm to per-frame statistics for leak-free causal generation (our
+  extension; incompatible with reference checkpoints' exact outputs).
+- attention blocks pre-norm with LayerNorm (u_net_blocks.py:198),
+- the mid block is res / spatial attn / temporal attn / res
+  (u_net3d.py:135-140),
+- Downsample is a stride-2 3x3 conv; Upsample nearest-2x + 3x3 conv.
 """
 
 from __future__ import annotations
@@ -25,26 +37,32 @@ from .embeddings import RandomDropoutCondEmbedding
 __all__ = ["UNet3DSpec", "UNet3D"]
 
 
-class FrameGroupNorm(nn.Module):
-    """GroupNorm per frame — normalizing over the time axis of (B, T, H, W, C)
-    would leak future frames through the causal temporal attention."""
+class VideoGroupNorm(nn.Module):
+    """GroupNorm over (B, T, H, W, C). frame_local=False matches the
+    reference's Conv3d GroupNorm (statistics over T, H, W — leaks time);
+    frame_local=True normalizes each frame independently."""
 
     groups: int = 8
+    frame_local: bool = False
+    eps: float = 1e-6
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        B, T = x.shape[:2]
-        y = x.reshape(B * T, *x.shape[2:])
-        y = nn.GroupNorm(num_groups=self.groups, name="gn")(y)
-        return y.reshape(x.shape)
+        gn = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, name="gn")
+        if self.frame_local:
+            B, T = x.shape[:2]
+            return gn(x.reshape(B * T, *x.shape[2:])).reshape(x.shape)
+        return gn(x)
 
 
 class ResnetBlock(nn.Module):
-    """Per-frame conv ResNet block with optional FiLM embedding."""
+    """Per-frame conv ResNet block with optional FiLM embedding
+    (u_net_blocks.py:14-65)."""
 
     out_ch: int
     groups: int = 8
     use_emb: bool = True
+    frame_local_norm: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -57,7 +75,10 @@ class ResnetBlock(nn.Module):
             h = nn.Conv(self.out_ch, (3, 3), dtype=self.dtype, name=name)(h)
             return h.reshape(B, T, H, W, self.out_ch)
 
-        h = FrameGroupNorm(self.groups, name="norm1")(x)
+        norm = lambda name: VideoGroupNorm(
+            self.groups, self.frame_local_norm, name=name
+        )
+        h = norm("norm1")(x)
         h = nn.silu(h)
         h = conv(h, "conv1")
         if self.use_emb and emb is not None:
@@ -65,9 +86,9 @@ class ResnetBlock(nn.Module):
                 nn.silu(emb)
             )
             scale, shift = jnp.split(mod[:, :, None, None, :], 2, axis=-1)
-            h = FrameGroupNorm(self.groups, name="norm2")(h) * (1 + scale) + shift
+            h = norm("norm2")(h) * (1 + scale) + shift
         else:
-            h = FrameGroupNorm(self.groups, name="norm2")(h)
+            h = norm("norm2")(h)
         h = nn.silu(h)
         h = conv(h, "conv2")
         if C != self.out_ch:
@@ -76,6 +97,9 @@ class ResnetBlock(nn.Module):
 
 
 class SpatialAttention(nn.Module):
+    """Pre-LayerNorm residual spatial attention over (H*W) per frame
+    (UnetSpatialAttentionBlock; u_net_blocks.py:89-257, 324-326)."""
+
     heads: int
     dim_head: int
     use_linear: bool = False
@@ -85,7 +109,7 @@ class SpatialAttention(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         B, T, H, W, C = x.shape
         inner = self.heads * self.dim_head
-        h = FrameGroupNorm(8, name="norm")(x).reshape(B * T, H * W, C)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm")(x).reshape(B * T, H * W, C)
         qkv = nn.Dense(3 * inner, use_bias=False, dtype=self.dtype, name="qkv")(h)
         q, k, v = jnp.split(qkv.reshape(B * T, H * W, 3, self.heads, self.dim_head), 3, 2)
         q, k, v = [jnp.moveaxis(a[:, :, 0], 1, 2) for a in (q, k, v)]
@@ -103,6 +127,9 @@ class SpatialAttention(nn.Module):
 
 
 class TemporalAttention(nn.Module):
+    """Pre-LayerNorm residual temporal attention over T per pixel with
+    rotary time embeddings (UnetTemporalAttentionBlock)."""
+
     heads: int
     dim_head: int
     causal: bool = False
@@ -113,7 +140,7 @@ class TemporalAttention(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         B, T, H, W, C = x.shape
         inner = self.heads * self.dim_head
-        h = FrameGroupNorm(8, name="norm")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         h = h.transpose(0, 2, 3, 1, 4).reshape(B * H * W, T, C)
         qkv = nn.Dense(3 * inner, use_bias=False, dtype=self.dtype, name="qkv")(h)
         q, k, v = jnp.split(qkv.reshape(-1, T, 3, self.heads, self.dim_head), 3, 2)
@@ -127,14 +154,20 @@ class TemporalAttention(nn.Module):
         return x + o
 
 
-def _spatial_resample(x, features, dtype, name, down: bool):
+def _downsample(x, features, dtype, name):
+    """Stride-2 3x3 per-frame conv (u_net_blocks.py:68-76)."""
     B, T = x.shape[:2]
     y = x.reshape(B * T, *x.shape[2:])
-    if down:
-        y = nn.Conv(features, (4, 4), strides=(2, 2), dtype=dtype, name=name)(y)
-    else:
-        y = jnp.repeat(jnp.repeat(y, 2, axis=1), 2, axis=2)
-        y = nn.Conv(features, (3, 3), dtype=dtype, name=name)(y)
+    y = nn.Conv(features, (3, 3), strides=(2, 2), padding=1, dtype=dtype, name=name)(y)
+    return y.reshape(B, T, *y.shape[1:])
+
+
+def _upsample(x, features, dtype, name):
+    """Nearest-2x + 3x3 per-frame conv (u_net_blocks.py:79-86)."""
+    B, T = x.shape[:2]
+    y = x.reshape(B * T, *x.shape[2:])
+    y = jnp.repeat(jnp.repeat(y, 2, axis=1), 2, axis=2)
+    y = nn.Conv(features, (3, 3), dtype=dtype, name=name)(y)
     return y.reshape(B, T, *y.shape[1:])
 
 
@@ -152,6 +185,9 @@ class UNet3DSpec:
     init_kernel_size: int = 7
     dropout: float = 0.0
     max_temporal_length: int = 16
+    # per-frame GroupNorm statistics (causal-leak-free; our extension —
+    # reference checkpoints require False)
+    frame_local_norm: bool = False
 
     @classmethod
     def from_config(cls, cfg, max_tokens: int) -> "UNet3DSpec":
@@ -168,6 +204,7 @@ class UNet3DSpec:
             init_kernel_size=cfg.init_kernel_size,
             dropout=cfg.dropout,
             max_temporal_length=max_tokens,
+            frame_local_norm=cfg.get("frame_local_norm", False),
         )
 
 
@@ -213,33 +250,38 @@ class UNet3D(nn.Module):
             )(external_cond, external_cond_mask, train)
             emb = jnp.concatenate([emb, cond.astype(emb.dtype)], axis=-1)
 
+        def res_block(h, emb, out_ch, name, use_emb=True):
+            return ResnetBlock(
+                out_ch, s.resnet_block_groups, use_emb, s.frame_local_norm,
+                self.dtype, name=name,
+            )(h, emb)
+
+        def sattn(h, name, use_linear):
+            return SpatialAttention(
+                s.attn_heads, s.attn_dim_head, use_linear=use_linear,
+                dtype=self.dtype, name=name,
+            )(h)
+
+        def tattn(h, name):
+            return TemporalAttention(
+                s.attn_heads, s.attn_dim_head, self.use_causal_mask, rope,
+                self.dtype, name=name,
+            )(h)
+
         # init conv (1, k, k) + optional temporal attention
         k0 = s.init_kernel_size
         h0 = x.reshape(B * T, H, W, C)
         h0 = nn.Conv(dim, (k0, k0), dtype=self.dtype, name="init_conv")(h0)
         h0 = h0.reshape(B, T, H, W, dim)
         if s.use_init_temporal_attn:
-            h0 = TemporalAttention(
-                s.attn_heads, s.attn_dim_head, self.use_causal_mask, rope,
-                self.dtype, name="init_temporal_attn",
-            )(h0)
+            h0 = tattn(h0, "init_temporal_attn")
 
-        def level(h, emb, dim_out, idx, use_attn, prefix, is_last_linear):
+        def level(h, emb, dim_out, use_attn, prefix, use_linear):
             for j in range(s.num_res_blocks):
-                h = ResnetBlock(
-                    dim_out, s.resnet_block_groups, dtype=self.dtype,
-                    name=f"{prefix}_res{j}",
-                )(h, emb)
+                h = res_block(h, emb, dim_out, f"{prefix}_res{j}")
             if use_attn:
-                h = SpatialAttention(
-                    s.attn_heads, s.attn_dim_head,
-                    use_linear=s.use_linear_attn and is_last_linear,
-                    dtype=self.dtype, name=f"{prefix}_sattn",
-                )(h)
-                h = TemporalAttention(
-                    s.attn_heads, s.attn_dim_head, self.use_causal_mask, rope,
-                    self.dtype, name=f"{prefix}_tattn",
-                )(h)
+                h = sattn(h, f"{prefix}_sattn", s.use_linear_attn and use_linear)
+                h = tattn(h, f"{prefix}_tattn")
             return h
 
         h = h0
@@ -248,26 +290,31 @@ class UNet3D(nn.Module):
         n = len(s.dim_mults)
         for i in range(n):
             is_last = i == n - 1
-            h = level(h, emb, dims[i + 1], i, factor in attn_factors, f"down_{i}",
+            h = level(h, emb, dims[i + 1], factor in attn_factors, f"down_{i}",
                       not is_last)
             hs.append(h)
             if not is_last:
-                h = _spatial_resample(h, dims[i + 1], self.dtype, f"down_{i}_ds", True)
+                h = _downsample(h, dims[i + 1], self.dtype, f"down_{i}_ds")
                 factor *= 2
 
-        h = level(h, emb, dims[-1], n, True, "mid", False)
+        # mid: res / spatial attn / temporal attn / res (u_net3d.py:135-140)
+        h = res_block(h, emb, dims[-1], "mid_res0")
+        h = sattn(h, "mid_sattn", False)
+        h = tattn(h, "mid_tattn")
+        h = res_block(h, emb, dims[-1], "mid_res1")
 
         for idx, i in enumerate(reversed(range(n))):
             is_last = idx == n - 1
             h = jnp.concatenate([h, hs.pop()], axis=-1)
-            h = level(h, emb, dims[i], i, factor in attn_factors, f"up_{i}",
+            h = level(h, emb, dims[i], factor in attn_factors, f"up_{i}",
                       idx > 0)
             if not is_last:
-                h = _spatial_resample(h, dims[i], self.dtype, f"up_{i}_us", False)
+                h = _upsample(h, dims[i], self.dtype, f"up_{i}_us")
                 factor //= 2
 
         h = jnp.concatenate([h, h0], axis=-1)
         h = ResnetBlock(dim, s.resnet_block_groups, use_emb=False,
+                        frame_local_norm=s.frame_local_norm,
                         dtype=self.dtype, name="out_res")(h)
         h = h.reshape(B * T, H, W, dim)
         out = nn.Conv(self.x_channels, (1, 1), dtype=self.dtype, name="out_conv")(h)

@@ -34,6 +34,7 @@ __all__ = [
     "import_dit3d_params",
     "import_uvit3d_params",
     "import_far_params",
+    "import_unet3d_params",
     "import_dit1d_params",
 ]
 
@@ -239,6 +240,100 @@ def import_dit3d_params(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
         (r"dit_base\.final_layer\.linear\.bias",
          r"dit/final_layer/proj/bias", _ID),
     ]
+    return _unflatten(_apply_rules(state, rules))
+
+
+def conv3d_1kk_w(w: np.ndarray) -> np.ndarray:
+    """torch Conv3d (O, I, 1, kH, kW) -> flax per-frame Conv (kH, kW, I, O)."""
+    return np.ascontiguousarray(w[:, :, 0].transpose(2, 3, 1, 0))
+
+
+def conv3d_111_to_dense(w: np.ndarray) -> np.ndarray:
+    """torch Conv3d 1x1x1 (O, I, 1, 1, 1) -> Dense kernel (I, O)."""
+    return np.ascontiguousarray(w[:, :, 0, 0, 0].T)
+
+
+def import_unet3d_params(
+    state: Dict[str, np.ndarray], num_res_blocks: int = 2, num_levels: int = 4
+) -> Dict[str, Any]:
+    """Map a reference Unet3D state dict (u_net3d.py / u_net_blocks.py torch
+    module names) onto our models/unet3d.UNet3D param tree."""
+    nrb = num_res_blocks
+    state = {
+        k: v for k, v in state.items() if "rotary_time_pos_embedding" not in k
+    }
+
+    def res_rules(t_prefix: str, f_prefix: str):
+        return [
+            (rf"{t_prefix}\.in_layers\.0\.weight", rf"{f_prefix}/norm1/gn/scale", _ID),
+            (rf"{t_prefix}\.in_layers\.0\.bias", rf"{f_prefix}/norm1/gn/bias", _ID),
+            (rf"{t_prefix}\.in_layers\.2\.weight", rf"{f_prefix}/conv1/kernel", conv3d_1kk_w),
+            (rf"{t_prefix}\.in_layers\.2\.bias", rf"{f_prefix}/conv1/bias", _ID),
+            (rf"{t_prefix}\.out_layers\.0\.weight", rf"{f_prefix}/norm2/gn/scale", _ID),
+            (rf"{t_prefix}\.out_layers\.0\.bias", rf"{f_prefix}/norm2/gn/bias", _ID),
+            (rf"{t_prefix}\.out_layers\.2\.weight", rf"{f_prefix}/conv2/kernel", conv3d_1kk_w),
+            (rf"{t_prefix}\.out_layers\.2\.bias", rf"{f_prefix}/conv2/bias", _ID),
+            (rf"{t_prefix}\.emb_layers\.1\.weight", rf"{f_prefix}/emb_proj/kernel", linear_w),
+            (rf"{t_prefix}\.emb_layers\.1\.bias", rf"{f_prefix}/emb_proj/bias", _ID),
+            (rf"{t_prefix}\.skip_conv\.weight", rf"{f_prefix}/shortcut/kernel", conv3d_111_to_dense),
+            (rf"{t_prefix}\.skip_conv\.bias", rf"{f_prefix}/shortcut/bias", _ID),
+        ]
+
+    def sattn_rules(t_prefix: str, f_prefix: str):
+        # UnetSpatialAttentionBlock -> wrapper.module = AttentionBlock
+        return [
+            (rf"{t_prefix}\.wrapper\.module\.norm\.weight", rf"{f_prefix}/norm/scale", _ID),
+            (rf"{t_prefix}\.wrapper\.module\.norm\.bias", rf"{f_prefix}/norm/bias", _ID),
+            (rf"{t_prefix}\.wrapper\.module\.attn\.to_qkv\.weight", rf"{f_prefix}/qkv/kernel", linear_w),
+            (rf"{t_prefix}\.wrapper\.module\.attn\.to_out\.weight", rf"{f_prefix}/proj/kernel", linear_w),
+            (rf"{t_prefix}\.wrapper\.module\.attn\.to_out\.bias", rf"{f_prefix}/proj/bias", _ID),
+        ]
+
+    def tattn_rules(t_prefix: str, f_prefix: str):
+        # UnetTemporalAttentionBlock -> wrapper.module = TemporalAttentionBlock
+        return [
+            (rf"{t_prefix}\.wrapper\.module\.attn_block\.norm\.weight", rf"{f_prefix}/norm/scale", _ID),
+            (rf"{t_prefix}\.wrapper\.module\.attn_block\.norm\.bias", rf"{f_prefix}/norm/bias", _ID),
+            (rf"{t_prefix}\.wrapper\.module\.attn_block\.attn\.to_qkv\.weight", rf"{f_prefix}/qkv/kernel", linear_w),
+            (rf"{t_prefix}\.wrapper\.module\.attn_block\.attn\.to_out\.weight", rf"{f_prefix}/proj/kernel", linear_w),
+            (rf"{t_prefix}\.wrapper\.module\.attn_block\.attn\.to_out\.bias", rf"{f_prefix}/proj/bias", _ID),
+        ]
+
+    rules = list(_NOISE_EMB_RULES) + list(_EXT_COND_RULES) + [
+        (r"init_conv\.weight", r"init_conv/kernel", conv3d_1kk_w),
+        (r"init_conv\.bias", r"init_conv/bias", _ID),
+        (r"out\.1\.weight", r"out_conv/kernel", conv3d_1kk_w),
+        (r"out\.1\.bias", r"out_conv/bias", _ID),
+    ]
+    rules += tattn_rules(r"init_temporal_attn", "init_temporal_attn")
+    rules += res_rules(r"out\.0", "out_res")
+    for i in range(num_levels):
+        for j in range(nrb):
+            rules += res_rules(rf"down_blocks\.{i}\.0\.{j}", f"down_{i}_res{j}")
+        rules += sattn_rules(rf"down_blocks\.{i}\.0\.{nrb}", f"down_{i}_sattn")
+        rules += tattn_rules(rf"down_blocks\.{i}\.0\.{nrb + 1}", f"down_{i}_tattn")
+        rules += [
+            (rf"down_blocks\.{i}\.1\.conv\.weight", rf"down_{i}_ds/kernel", conv3d_1kk_w),
+            (rf"down_blocks\.{i}\.1\.conv\.bias", rf"down_{i}_ds/bias", _ID),
+        ]
+        # torch up_blocks.0 is the DEEPEST level == our up_{num_levels-1}
+        our = num_levels - 1 - i
+        for j in range(nrb):
+            rules += res_rules(rf"up_blocks\.{i}\.{j}", f"up_{our}_res{j}")
+        rules += sattn_rules(rf"up_blocks\.{i}\.{nrb}", f"up_{our}_sattn")
+        rules += tattn_rules(rf"up_blocks\.{i}\.{nrb + 1}", f"up_{our}_tattn")
+        rules += [
+            (rf"up_blocks\.{i}\.{nrb + 2}\.conv\.weight", rf"up_{our}_us/kernel", conv3d_1kk_w),
+            (rf"up_blocks\.{i}\.{nrb + 2}\.conv\.bias", rf"up_{our}_us/bias", _ID),
+        ]
+    mid = [
+        (r"mid_block\.0", "mid_res0", res_rules),
+        (r"mid_block\.1", "mid_sattn", sattn_rules),
+        (r"mid_block\.2", "mid_tattn", tattn_rules),
+        (r"mid_block\.3", "mid_res1", res_rules),
+    ]
+    for t, f, fn in mid:
+        rules += fn(t, f)
     return _unflatten(_apply_rules(state, rules))
 
 

@@ -1,5 +1,7 @@
 """Tests for U-Net3D, FAR-DiT, DiT1D, matrix attention, difference-DiT."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,7 +48,11 @@ def test_unet3d_shapes():
 
 
 def test_unet3d_causal_temporal_attention():
-    model = UNet3D(spec=UNET_SPEC, x_channels=3, resolution=16, use_causal_mask=True)
+    # frame_local_norm: the reference's GroupNorm statistics span time and
+    # leak future frames even under causal attention; this flag is our
+    # leak-free variant, required for strict causality to hold
+    spec = dataclasses.replace(UNET_SPEC, frame_local_norm=True)
+    model = UNet3D(spec=spec, x_channels=3, resolution=16, use_causal_mask=True)
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 16, 16, 3))
     k = jnp.full((1, 4), 10.0)
     variables, o1 = _init_run(model, x, k)

@@ -921,3 +921,94 @@ def test_pips2_forward_parity():
             jnp.asarray(np.transpose(rgbs[0], (0, 2, 3, 1))),
         )
         np.testing.assert_allclose(np.asarray(out), ref_out, atol=atol)
+
+
+# ---------------------------------------------------------------------------
+# Unet3D
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("use_causal_mask", [True, False])
+def test_unet3d_forward_parity(use_causal_mask):
+    """Flax UNet3D vs the reference torch Unet3D (backbones/u_net): pseudo-3D
+    res blocks with FiLM, time-spanning GroupNorm, LayerNorm'd spatial
+    (incl. linear) + rotary temporal attention, nearest-up/strided-down."""
+    # the reference Attention probes CUDA properties at construction; fake it
+    class _Props:
+        major, minor = 8, 0
+
+    orig = torch.cuda.get_device_properties
+    torch.cuda.get_device_properties = lambda *_: _Props()
+    try:
+        unet = load_reference_module("refalg.dfot.backbones.u_net.u_net3d")
+        from omegaconf import DictConfig
+
+        B, T, H = 2, 4, 16
+        cfg = DictConfig(
+            dict(
+                network_size=16,
+                num_res_blocks=2,
+                resnet_block_groups=4,
+                dim_mults=[1, 2],
+                attn_resolutions=[8, 16],
+                attn_dim_head=8,
+                attn_heads=2,
+                use_linear_attn=True,
+                use_init_temporal_attn=True,
+                init_kernel_size=7,
+                dropout=0.0,
+                noise_level_dropout=0.0,
+                external_cond_dropout=0.0,
+                use_fourier_noise_embedding=False,
+            )
+        )
+        # NOTE: the reference Unet3D passes its args POSITIONALLY into a
+        # BaseBackbone whose signature gained external_cond_type/
+        # num_classes in between (u_net3d.py:34-40 vs base_backbone.py:
+        # 14-23), so any external_cond_dim > 0 crashes at construction
+        # ("Unknown external condition type: True") — the action-cond path
+        # is dead code there. Parity is therefore tested unconditioned;
+        # the cond-embedding import rules are covered by the DiT3D/UViT3D
+        # parity tests which share them.
+        ref = unet.Unet3D(
+            cfg,
+            x_shape=torch.Size([3, H, H]),
+            max_tokens=T,
+            external_cond_dim=0,
+            use_causal_mask=use_causal_mask,
+        )
+        ref.eval()
+        _randomize(ref, seed=51)
+    finally:
+        torch.cuda.get_device_properties = orig
+
+    from dfot_tpu.models.unet3d import UNet3D, UNet3DSpec
+    from dfot_tpu.utils.torch_ckpt import import_unet3d_params
+
+    spec = UNet3DSpec(
+        network_size=16, num_res_blocks=2, resnet_block_groups=4,
+        dim_mults=(1, 2), attn_resolutions=(8, 16), attn_dim_head=8,
+        attn_heads=2, use_linear_attn=True, use_init_temporal_attn=True,
+        init_kernel_size=7, max_temporal_length=T,
+    )
+    ours = UNet3D(
+        spec=spec, x_channels=3, resolution=H, use_causal_mask=use_causal_mask,
+    )
+    params = import_unet3d_params(
+        _to_np(ref.state_dict()), num_res_blocks=2, num_levels=2
+    )
+
+    rng = np.random.RandomState(52)
+    x = rng.randn(B, T, 3, H, H).astype(np.float32)
+    k = rng.randint(0, 1000, size=(B, T)).astype(np.int64)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x), torch.from_numpy(k)).numpy()
+
+    x_cl = np.transpose(x, (0, 1, 3, 4, 2))
+    out = ours.apply(
+        {"params": params},
+        jnp.asarray(x_cl),
+        jnp.asarray(k, jnp.float32),
+    )
+    out = np.transpose(np.asarray(out), (0, 1, 4, 2, 3))
+    np.testing.assert_allclose(out, ref_out, atol=1e-4, rtol=1e-4)
