@@ -32,7 +32,10 @@ _WEIGHTS = {
     "imaging_quality": 1.0,
 }
 
-_NATIVE = ("temporal_flickering", "motion_smoothness", "dynamic_degree")
+_NATIVE = (
+    "temporal_flickering", "motion_smoothness", "dynamic_degree",
+    "imaging_quality",
+)
 
 
 def temporal_flickering(videos: np.ndarray) -> float:
@@ -92,6 +95,36 @@ def _dynamic_degree_score(flows: np.ndarray, resolution: int) -> np.ndarray:
     rad = np.sqrt((flows**2).sum(-1)).reshape(B, -1)
     k = max(1, int(rad.shape[1] * 0.05))
     return np.sort(rad, axis=1)[:, -k:].mean(axis=1)
+
+
+def imaging_quality(videos: np.ndarray) -> float:
+    """No-reference per-frame imaging quality, [0, 1] (higher = better).
+
+    The reference scores this dim with pretrained MUSIQ via pyiqa
+    (vbench/imaging_quality.py); pyiqa's source is not vendored here, so a
+    structurally-faithful port cannot be verified — instead this classical
+    proxy combines normalized Laplacian-variance sharpness with a
+    blockiness penalty (8px-grid gradient excess, the classic JPEG
+    artifact measure). Scores are flagged ``_uncalibrated`` until MUSIQ
+    weights + architecture land.
+    """
+    v = np.clip(np.asarray(videos, np.float32), 0, 1)
+    B, T = v.shape[:2]
+    gray = v.mean(-1) if v.shape[-1] > 1 else v[..., 0]
+    # sharpness: variance of the 4-neighbour laplacian, saturating map
+    lap = (
+        4 * gray[..., 1:-1, 1:-1]
+        - gray[..., :-2, 1:-1] - gray[..., 2:, 1:-1]
+        - gray[..., 1:-1, :-2] - gray[..., 1:-1, 2:]
+    )
+    sharp = lap.var(axis=(-2, -1))  # (B, T)
+    sharp = sharp / (sharp + 1e-3)
+    # blockiness: gradient magnitude on the 8px grid vs off-grid
+    gx = np.abs(np.diff(gray, axis=-1))
+    on = gx[..., 7::8].mean(axis=(-2, -1))
+    off = gx.mean(axis=(-2, -1)) + 1e-8
+    blocky = np.clip(on / off - 1.0, 0.0, 1.0)
+    return float(np.clip(sharp * (1.0 - blocky), 0.0, 1.0).mean())
 
 
 def motion_smoothness_amt(videos: np.ndarray, amt_fn) -> float:
@@ -224,12 +257,13 @@ class VBenchQuality:
                     self._scores[dim].append(dynamic_degree_raft(videos, raft_fn))
                 else:
                     self._scores[dim].append(dynamic_degree(videos))
+            elif dim == "imaging_quality":
+                self._scores[dim].append(imaging_quality(videos))
             elif self.registry is not None and dim in (
                 "subject_consistency", "background_consistency",
                 "aesthetic_quality",
             ):
                 self._scores[dim].append(self._model_dim(dim, videos))
-            # imaging_quality (MUSIQ) stays weight-gated
 
     def _model_dim(self, dim: str, videos: np.ndarray) -> float:
         """Model-based dimensions (reference vbench/*.py). Scores are only
@@ -269,6 +303,7 @@ class VBenchQuality:
     _DIM_MODELS = {
         "motion_smoothness": ("amt",),  # reference interpolates with AMT-S
         "dynamic_degree": ("raft",),
+        "imaging_quality": ("musiq",),  # classical proxy until MUSIQ lands
         "subject_consistency": ("dino",),
         "background_consistency": ("clip_b32",),
         "aesthetic_quality": ("clip_l14", "laion"),

@@ -480,3 +480,26 @@ def test_pips_registry_gating(tmp_path):
     assert trajs.shape == (4, 2, 2)
     # frame 0 stays locked to the query points
     np.testing.assert_allclose(trajs[0], pts, atol=1e-4)
+
+
+def test_imaging_quality_orders_videos():
+    """Classical imaging-quality proxy: sharp structure scores above blur;
+    always reported _uncalibrated (MUSIQ weight-gated)."""
+    from dfot_tpu.metrics.vbench import VBenchQuality, imaging_quality
+
+    rng = np.random.RandomState(0)
+    tex = rng.rand(1, 4, 64, 64, 3).astype(np.float32)  # crisp texture
+    # 5x5 box blur of the same content
+    k = 5
+    pad = np.pad(tex, ((0, 0), (0, 0), (k, k), (k, k), (0, 0)), mode="edge")
+    blur = np.zeros_like(tex)
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            blur += pad[:, :, k + dy : k + dy + 64, k + dx : k + dx + 64]
+    blur /= 25.0
+    assert imaging_quality(tex) > imaging_quality(blur)
+
+    vb = VBenchQuality(dimensions=("imaging_quality",))
+    vb.update(tex)
+    out = vb.log()
+    assert "vbench/imaging_quality_uncalibrated" in out
