@@ -82,6 +82,7 @@ class DFoTVideoAlgo:
             sliding_context_len=pred.get("sliding_context_len"),
             keyframe_density=pred.get("keyframe_density"),
             interpolation_max_batch_size=interp.get("max_batch_size"),
+            scan_bucket=cfg.get("scan_bucket", 0) or 0,
             refinement=(
                 dict(cfg.refinement_sampling.to_dict())
                 if cfg.refinement_sampling.enabled

@@ -42,6 +42,11 @@ class RolloutConfig:
     keyframe_density: Optional[float] = None
     interpolation_max_batch_size: Optional[int] = None
     refinement: Optional[dict] = None
+    # round the scan length S up to a multiple of this bucket (0 = exact):
+    # heterogeneous context masks then share one compiled (B, T, S, H, G)
+    # signature instead of recompiling per distinct mask, at the cost of a
+    # few identity scan rows
+    scan_bucket: int = 0
     # optional jax.sharding.Mesh: shards the NFE-expanded denoiser batch over
     # its 'data' axis (multi-chip sampling; see sampler.make_window_sampler)
     mesh: Optional[object] = None
@@ -132,7 +137,22 @@ class DFoTRollout:
             is_full_sequence=cfg.is_full_sequence,
             refine=cfg.refinement,
         )
-        n_eval_rows = int(plan.num_steps - int(np.asarray(plan.renoise).sum()))
+        if cfg.scan_bucket and cfg.scan_bucket > 0:
+            S = plan.num_steps
+            bucket = -(-S // cfg.scan_bucket) * cfg.scan_bucket
+            if bucket > S:
+                plan = plan_sampling(
+                    mask, history_guidance, cfg.scheduling_matrix,
+                    dcfg.timesteps, dcfg.sampling_timesteps,
+                    horizon - padding, padding,
+                    is_full_sequence=cfg.is_full_sequence,
+                    refine=cfg.refinement, pad_steps_to=bucket,
+                )
+        n_eval_rows = int(
+            plan.num_steps
+            - int(np.asarray(plan.renoise).sum())
+            - int(np.asarray(plan.noop).sum())
+        )
         self.stats["denoiser_evals_b1"] += n_eval_rows * batch_size * plan.nfe
         self.stats["windows"] += 1
         plan_dev = jax.tree_util.tree_map(jnp.asarray, plan)
