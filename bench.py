@@ -105,8 +105,14 @@ def main():
     ap.add_argument("--window8", action="store_true", help="8-frame quick-start bench")
     ap.add_argument("--frames", type=int, default=200)
     ap.add_argument("--repeats", type=int, default=1)
-    ap.add_argument("--interp-batch", type=int, default=8,
-                    help="interpolation max_batch_size (tuning knob)")
+    ap.add_argument("--interp-batch", type=int, default=1,
+                    help="interpolation max_batch_size (the flagship forward "
+                    "anti-scales with batch at 256px on one v5e; 1 is fastest)")
+    ap.add_argument("--conds", choices=["host_bf16", "device_bf16", "host_f32"],
+                    default="host_bf16",
+                    help="where/how the per-frame ray encodings live (bf16 "
+                    "halves the ~188 MB-per-window upload; device-resident "
+                    "OOMs on one 16G chip)")
     args = ap.parse_args()
 
     import jax
@@ -144,14 +150,16 @@ def main():
     compiled = fwd.lower(variables, x1, k1, p1, None).compile()
     flops_per_fwd = _flops_of(compiled)
     out = fwd(variables, x1, k1, p1, None)
-    jax.block_until_ready(out)
-    # time with a host-side fetch per call: on tunneled platforms
-    # block_until_ready can return at dispatch, inflating FLOP/s
+    float(jnp.mean(out))  # force one full execution before timing
+    # chain the forwards (each consumes the previous output) and fetch one
+    # scalar at the end: on the tunneled platform block_until_ready can
+    # return at dispatch and per-call device_get pays a slow transfer path
     n_fwd = 5
     t0 = time.perf_counter()
+    x_c = x1
     for _ in range(n_fwd):
-        out = fwd(variables, x1, k1, p1, None)
-        np.asarray(jax.device_get(out))
+        x_c = fwd(variables, x_c, k1, p1, None)
+    float(jnp.mean(x_c))
     fwd_sec = (time.perf_counter() - t0) / n_fwd
     fwd_mfu = flops_per_fwd / fwd_sec / V5E_PEAK_FLOPS
 
@@ -195,9 +203,23 @@ def main():
             guidance_scale=1.5, timesteps=dcfg.timesteps
         )
         xs = jnp.zeros((1, total_frames, res, res, 3))
-        # 200 frames x 256^2 x 180ch of fp32 ray encodings is ~9.4 GB — far
-        # beyond HBM; keep it host-side, the rollout transfers per-window
-        conds = np.zeros((1, total_frames, res, res, pose_dim), np.float32)
+        # 200 frames x 256^2 x 180ch of ray encodings: fp32 (9.4 GB) blows
+        # HBM, and host-side slices cost a ~188 MB upload per window over
+        # the tunnel. bf16 device-resident (4.7 GB) fits beside the bf16
+        # weights and makes per-window slicing a free device op.
+        if args.conds == "device_bf16":
+            # 4.7 GB resident: OOMs beside the window working set on 16G v5e
+            conds = jnp.zeros(
+                (1, total_frames, res, res, pose_dim), jnp.bfloat16
+            )
+        elif args.conds == "host_bf16":
+            import ml_dtypes
+
+            conds = np.zeros(
+                (1, total_frames, res, res, pose_dim), ml_dtypes.bfloat16
+            )
+        else:
+            conds = np.zeros((1, total_frames, res, res, pose_dim), np.float32)
 
         def run(seed):
             out = ro.predict_videos(

@@ -405,7 +405,22 @@ class DFoTVideoAlgo:
         variables = {"params": params}
         conds = self.process_conditions(conditions)
         if conds is not None and not isinstance(conds, jax.Array):
-            conds = jnp.asarray(conds)
+            conds = np.asarray(conds)
+            if (
+                self.compute_dtype == jnp.bfloat16
+                and conds.dtype == np.float32
+                and conds.ndim >= 4
+            ):
+                # dense per-frame condition maps (e.g. 180-channel ray
+                # encodings): the model's bf16 Dense casts them anyway, so a
+                # host-side bf16 cast is numerically identical and halves
+                # both HBM residency and the per-window host->device bytes
+                # on long rollouts (the rollout slices host arrays lazily)
+                import ml_dtypes
+
+                conds = conds.astype(ml_dtypes.bfloat16)
+            elif conds.ndim <= 3:
+                conds = jnp.asarray(conds)
 
         out: Dict[str, jax.Array] = {"gt": xs}
         for task in tasks:

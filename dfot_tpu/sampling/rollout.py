@@ -29,6 +29,16 @@ from .sampler import make_window_sampler, plan_sampling
 __all__ = ["RolloutConfig", "DFoTRollout"]
 
 
+def _take_frames(conditions, frames):
+    """Gather frames along axis 1. Host arrays use per-frame slice concat:
+    numpy fancy indexing on a non-leading axis of a multi-GB array runs
+    ~20x slower than contiguous slice copies (measured 1.35s vs 0.07s for a
+    94 MB window of bf16 ray encodings)."""
+    if isinstance(conditions, np.ndarray):
+        return np.concatenate([conditions[:, f : f + 1] for f in frames], axis=1)
+    return conditions[:, jnp.asarray(frames)]
+
+
 @dataclasses.dataclass(frozen=True)
 class RolloutConfig:
     max_tokens: int
@@ -276,7 +286,7 @@ class DFoTRollout:
                     if cfg.external_cond_type == "label":
                         chunk_cond.append(conditions)
                     else:
-                        csel = conditions[:, xp.asarray(frames)]
+                        csel = _take_frames(conditions, frames)
                         if pad:
                             cz = xp.zeros((B, pad) + conditions.shape[2:], csel.dtype)
                             csel = xp.concatenate([csel, cz], 1)
@@ -334,10 +344,7 @@ class DFoTRollout:
 
         key_conditions = conditions
         if conditions is not None and cfg.external_cond_type == "action":
-            if isinstance(conditions, np.ndarray):
-                key_conditions = conditions[:, np.asarray(keys)]
-            else:
-                key_conditions = conditions[:, jnp.asarray(keys)]
+            key_conditions = _take_frames(conditions, keys)
 
         import time as _time
 
