@@ -304,3 +304,39 @@ def test_flash_attention_backward_streaming_dq(monkeypatch):
 
     _, vjp_c = jax.vjp(flash_c, q, k, v)
     assert all(np.isfinite(np.asarray(t)).all() for t in vjp_c(g))
+
+
+def test_small_n_attention_matches_xla():
+    """VMEM-resident small-N kernel (axial temporal attention path): forward
+    matches XLA attention; backward (XLA-delegated VJP) differentiates."""
+    import jax
+    import jax.numpy as jnp
+
+    from dfot_tpu.ops.attention import _small_n_impl, _xla_attention, small_n_attention
+
+    rng = jax.random.PRNGKey(0)
+    q, k, v = (
+        jax.random.normal(r, (16, 4, 8, 64), jnp.float32)
+        for r in jax.random.split(rng, 3)
+    )
+    ref = _xla_attention(q, k, v, False)
+    out = _small_n_impl(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    # grad path must be defined (delegates to the XLA VJP)
+    def loss(q):
+        return jnp.sum(_xla_attention(q, k, v, False) ** 2)
+
+    g_ref = jax.grad(loss)(q)
+
+    def loss2(q):
+        # interpret-mode forward through the custom-vjp wrapper
+        out, vjp = jax.vjp(lambda a: small_n_attention(a, k, v), q)
+        return out, vjp
+
+    # on CPU the pallas interpret path isn't wired through the public
+    # dispatcher; check the custom bwd directly
+    from dfot_tpu.ops.attention import _small_n_bwd
+
+    (gq,) = ( _small_n_bwd((q, k, v), 2 * ref)[0], )
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(g_ref), atol=2e-4)
