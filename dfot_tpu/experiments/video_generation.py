@@ -390,13 +390,25 @@ class VideoGenerationExperiment:
                 )
                 for k, v in videos.items()
             }
+        # multi-host: score the global batch once (reference
+        # accelerator.gather_for_metrics semantics)
+        if jax.process_count() > 1:
+            from ..parallel import gather_for_metrics, is_rank_zero
+
+            videos = gather_for_metrics(videos)
+            if not is_rank_zero():
+                return
         gt = np.asarray(videos["gt"])
         B, T = gt.shape[:2]
         nct = algo.n_context_tokens
         metric_types = tuple(cfg.algorithm.logging.get("metrics", ["mse", "psnr"]))
-        registry = SharedMetricModelRegistry(
-            weights_dir=cfg.algorithm.logging.get("metrics_weights_dir")
-        )
+        # the registry caches frozen eval models; rebuild-per-call would
+        # reload weights and re-jit every validation tick
+        if not hasattr(self, "_mid_val_registry"):
+            self._mid_val_registry = SharedMetricModelRegistry(
+                weights_dir=cfg.algorithm.logging.get("metrics_weights_dir")
+            )
+        registry = self._mid_val_registry
         results: Dict[str, float] = {}
         for task, vid in videos.items():
             if task == "gt":

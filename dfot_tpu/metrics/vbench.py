@@ -141,7 +141,17 @@ def motion_smoothness_amt(videos: np.ndarray, amt_fn) -> float:
     n_pairs = even.shape[1] - 1
     f0 = even[:, :-1].reshape((-1,) + even.shape[2:]) / 255.0
     f1 = even[:, 1:].reshape((-1,) + even.shape[2:]) / 255.0
+    # pad the interpolator inputs to a multiple of 16 like the reference's
+    # InputPadder (amt/utils.py:29-48, replicate), unpad before scoring
+    H, W = videos.shape[2:4]
+    ph, pw = (-H) % 16, (-W) % 16
+    if ph or pw:
+        pads = ((0, 0), (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2), (0, 0))
+        f0 = np.pad(f0, pads, mode="edge")
+        f1 = np.pad(f1, pads, mode="edge")
     interp = np.asarray(amt_fn(f0, f1))
+    if ph or pw:
+        interp = interp[:, ph // 2 : ph // 2 + H, pw // 2 : pw // 2 + W]
     # uint8 quantization like the reference AMT wrapper (__init__.py:33)
     interp = np.round(np.clip(interp * 255.0, 0, 255))
     interp = interp.reshape((B, n_pairs) + interp.shape[1:])
@@ -247,7 +257,7 @@ class VBenchQuality:
                 self._scores[dim].append(temporal_flickering(videos))
             elif dim == "motion_smoothness":
                 amt_fn = self.registry.amt() if self.registry is not None else None
-                if amt_fn is not None and videos.shape[2] % 16 == 0 and videos.shape[3] % 16 == 0:
+                if amt_fn is not None:
                     self._scores[dim].append(motion_smoothness_amt(videos, amt_fn))
                 else:
                     self._scores[dim].append(motion_smoothness(videos))

@@ -181,6 +181,14 @@ class DiT1D(nn.Module):
         train: bool = False,
     ) -> jax.Array:
         s = self.spec
+        if s.learn_sigma:
+            # the loss contract expects C output channels; the 2C
+            # mean+sigma head has no consumer in this framework (nor does
+            # the reference's loss split it) — reject rather than emit
+            # shapes that break downstream
+            raise NotImplementedError(
+                "DiT1D learn_sigma=True has no downstream sigma consumer"
+            )
         orig_shape = x.shape
         if x.ndim == 5:  # (B, T, 1, N, C)
             x = x[:, :, 0]

@@ -545,10 +545,16 @@ def _small_n_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
 
 def _small_n_impl(
     q: jax.Array, k: jax.Array, v: jax.Array,
-    block_z: int = 512, interpret: bool = False,
+    block_z: int = 0, interpret: bool = False,
 ) -> jax.Array:
     B, H, N, D = q.shape
     Z = B * H
+    if not block_z:
+        # scale the item-tile so the kernel's fp32 staging (4 tensors of
+        # block_z x N x D plus the block_z x N x N scores) stays well under
+        # the ~16MB scoped-VMEM budget; 512 is the measured sweet spot at
+        # the reference temporal shape N=8, D=64
+        block_z = max(128, 512 * (8 * 64) // (N * D))
     while block_z > 1 and Z % block_z:
         block_z //= 2
     qf, kf, vf = (a.reshape(Z, N, D) for a in (q, k, v))

@@ -73,9 +73,9 @@ def run(argv):
 
     from dfot_tpu.training.checkpoint import register_run, resolve_run_checkpoint
 
-    run_id = register_run(str(cfg.output_dir), str(cfg.name), output_dir)
-    print(f"run id: {run_id} (load={run_id} resumes this run's checkpoints)")
-
+    # resolve load= BEFORE registering this run: registering first would make
+    # the fresh (checkpoint-less) run the latest match for its own name and
+    # shadow the trained run the user is pointing at
     load = cfg.get("load") or cfg.get("resume")
     if load and not os.path.exists(str(load)) and not str(load).startswith("pretrained:"):
         # reference: load=<wandb-run-id> resolves through the run registry
@@ -84,6 +84,9 @@ def run(argv):
         if resolved is not None:
             print(f"resolved load={load} -> {resolved}")
             load = resolved
+
+    run_id = register_run(str(cfg.output_dir), str(cfg.name), output_dir)
+    print(f"run id: {run_id} (load={run_id} resumes this run's checkpoints)")
     experiment = build_experiment(cfg, output_dir, load)
     for task in cfg.experiment.tasks:
         experiment.exec_task(task)
