@@ -340,3 +340,14 @@ def test_small_n_attention_matches_xla():
 
     (gq,) = ( _small_n_bwd((q, k, v), 2 * ref)[0], )
     np.testing.assert_allclose(np.asarray(gq), np.asarray(g_ref), atol=2e-4)
+
+
+def test_flash_block_picker_vmem_rule():
+    """Past 4096 tokens only the k block widens (the 1024x1024 fp32 score
+    tile blows the scoped-VMEM budget inside large programs)."""
+    from dfot_tpu.ops.attention import _pick_blocks
+
+    assert _pick_blocks(1024) == (1024, 1024)
+    assert _pick_blocks(4096) == (1024, 1024)
+    assert _pick_blocks(8192) == (512, 1024)
+    assert _pick_blocks(16384) == (512, 1024)
