@@ -1,26 +1,34 @@
 """Benchmark: DFoT flagship long-video sampling throughput + MFU.
 
 Default workload is the reference's NORTH-STAR task (BASELINE.md row 1,
-reference README.md:66-69): the DFoT_RE10K flagship model — U-ViT3DPose,
+reference README.md:66-74): the DFoT_RE10K flagship model — U-ViT3DPose,
 channels (128, 256, 576, 1152), 3/3/6 up-down blocks, 20 mid blocks,
 ~467M params (configurations/dataset_experiment/
-realestate10k_video_generation.yaml) — generating a 200-frame 256x256 video
-from a single image: keyframe pass (density 0.0625, sliding windows of 8)
-with stabilized-vanilla history guidance, then batched interpolation with
-vanilla HG; 50 DDIM steps per window.
+realestate10k_video_generation.yaml) — on three workloads, each emitting
+its own JSON line as soon as it completes:
 
-Baseline: the reference takes ~10 min for this rollout on one A100-class GPU
-=> 0.333 frames/sec/GPU. vs_baseline = our frames/sec/chip over that.
+1. 8-frame quick-start (single image -> 8-frame video, vanilla HG;
+   reference README.md:72-74, "<1 min on 1 GPU" => baseline 0.133 fps).
+2. 200-frame rollout (keyframes at density 0.0625 + batched interpolation,
+   50 DDIM steps; reference README.md:66-69, "~10 min on 1 GPU" =>
+   baseline 0.333 fps). Run ONCE, with incremental partial JSON lines
+   emitted after the keyframe phase and after every interpolation round so
+   an external timeout still leaves a parsable, honest (lower-bound) tail.
+3. Training throughput: one jitted train step (AdamW + EMA, remat per
+   level, bf16 compute / f32 params) on the same model and shapes.
+
+Every printed line is a complete ``{"metric", "value", "unit",
+"vs_baseline", ...}`` object. The LAST line is always the flagship
+200-frame rollout metric (with the other workloads folded in as extras),
+so both first-line and last-line parsers capture a flagship number.
 
 FLOPs accounting: XLA cost analysis of ONE jitted denoiser forward (B=1)
 times the exact number of B=1-equivalent denoiser evals the rollout issues
-(DFoTRollout.stats). MFU = achieved FLOP/s divided by the 197 TFLOP/s bf16
-peak of one TPU v5e chip.
+(DFoTRollout.stats). MFU = achieved FLOP/s over the 197 TFLOP/s bf16 peak
+of one TPU v5e chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
-
-Flags: --tiny (CPU smoke), --window8 (8-frame quick-start, README.md:72-74),
---frames N, --repeats N, --interp-batch N.
+Flags: --tiny (CPU smoke), --window8 (8-frame bench only), --frames N,
+--interp-batch N, --skip-train, --skip-rollout.
 """
 
 import argparse
@@ -31,6 +39,11 @@ import time
 import numpy as np
 
 V5E_PEAK_FLOPS = 197e12  # bf16 peak, one TPU v5e chip
+A100_PEAK_FLOPS = 312e12  # bf16 peak, one A100 (training vs_baseline roofline)
+
+
+def emit(obj):
+    print(json.dumps(obj), flush=True)
 
 
 def _flops_of(compiled) -> float:
@@ -42,8 +55,12 @@ def _flops_of(compiled) -> float:
     return 0.0
 
 
-def build_flagship(tiny: bool):
-    """The DFoT_RE10K model (or a tiny CPU stand-in with the same code path)."""
+def build_flagship(tiny: bool, remat: bool = False):
+    """The DFoT_RE10K model (or a tiny CPU stand-in with the same code path).
+
+    Returns (model, bf16_variables, res, T, pose_dim). With ``remat`` the
+    transformer levels use jax.checkpoint (training memory profile).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -55,7 +72,7 @@ def build_flagship(tiny: bool):
             block_types=("ResBlock", "TransformerBlock"),
             block_dropouts=(0.0, 0.0), num_updown_blocks=(1,),
             num_mid_blocks=1, num_heads=2, pos_emb_type="rope",
-            use_checkpointing=(False, False), max_temporal_length=4,
+            use_checkpointing=(remat, remat), max_temporal_length=4,
         )
         res, T, pose_dim = 16, 4, 6
     else:
@@ -67,7 +84,7 @@ def build_flagship(tiny: bool):
             ),
             block_dropouts=(0.0, 0.0, 0.1, 0.1), num_updown_blocks=(3, 3, 6),
             num_mid_blocks=20, num_heads=9, pos_emb_type="rope",
-            use_checkpointing=(False,) * 4, max_temporal_length=8,
+            use_checkpointing=(remat,) * 4, max_temporal_length=8,
         )
         res, T, pose_dim = 256, 8, 180  # ray_encoding conditioning
 
@@ -99,12 +116,124 @@ def build_flagship(tiny: bool):
     return model, variables, res, T, pose_dim
 
 
+def bench_forward(model, variables, res, T, pose_dim):
+    """Time one jitted denoiser forward (B=1) + XLA FLOPs for MFU math."""
+    import jax
+    import jax.numpy as jnp
+
+    fwd = jax.jit(
+        lambda v, x, k, c: model.apply(v, x, k, c, None)
+    )
+    x1 = jnp.zeros((1, T, res, res, 3))
+    k1 = jnp.full((1, T), 500.0)
+    p1 = jnp.zeros((1, T, res, res, pose_dim))
+    compiled = fwd.lower(variables, x1, k1, p1).compile()
+    flops_per_fwd = _flops_of(compiled)
+    out = fwd(variables, x1, k1, p1)
+    float(jnp.mean(out))  # force one full execution before timing
+    # chain the forwards (each consumes the previous output) and fetch one
+    # scalar at the end: on the tunneled platform block_until_ready can
+    # return at dispatch and per-call device_get pays a slow transfer path
+    n_fwd = 5
+    t0 = time.perf_counter()
+    x_c = x1
+    for _ in range(n_fwd):
+        x_c = fwd(variables, x_c, k1, p1)
+    float(jnp.mean(x_c))
+    fwd_sec = (time.perf_counter() - t0) / n_fwd
+    return flops_per_fwd, fwd_sec
+
+
+def bench_train(model_spec_args, variables, res, T, pose_dim, dcfg, sched,
+                flops_per_fwd):
+    """One jitted train step on the flagship (B=1, remat, AdamW + EMA).
+
+    BASELINE configs 4-5 are training recipes with no published steps/sec;
+    vs_baseline is therefore a roofline ratio: our achieved FLOP/s over an
+    A100 running torch at a typical 35% MFU (documented estimate, not a
+    measured reference number).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dfot_tpu.training import make_train_step
+    from dfot_tpu.training.noise_levels import NoiseLevelConfig
+    from dfot_tpu.training.state import create_train_state
+
+    tiny = model_spec_args["tiny"]
+    model, _, _, _, _ = build_flagship(tiny, remat=True)
+
+    # f32 master params (values irrelevant for throughput): re-materialize
+    # from the bf16 inference weights rather than holding a second init
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32)
+        if isinstance(a, jax.Array) and a.dtype == jnp.bfloat16
+        else a,
+        variables,
+    )
+
+    def model_apply(p, x, k, cond, cond_mask, rngs=None, train=False):
+        return model.apply(p, x, k, cond, cond_mask, train, rngs=rngs)
+
+    nl_cfg = NoiseLevelConfig(
+        noise_level="random_independent", timesteps=dcfg.timesteps,
+        is_continuous=dcfg.is_continuous,
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(5e-5, b1=0.9, b2=0.999, weight_decay=1e-2),
+    )
+    state = create_train_state(params, tx, use_ema=True)
+    del params
+    train_step = make_train_step(
+        model_apply, dcfg, sched, nl_cfg, compute_dtype=jnp.bfloat16
+    )
+
+    B = 1
+    batch = {
+        "xs": jnp.zeros((B, T, res, res, 3), jnp.bfloat16),
+        "conditions": jnp.zeros((B, T, res, res, pose_dim), jnp.bfloat16),
+        "masks": jnp.ones((B, T), bool),
+    }
+    rngs = jax.random.split(jax.random.PRNGKey(0), 4)
+    state, m = train_step(state, batch, rngs[0])  # compile + first step
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    n_steps = 3
+    for i in range(n_steps):
+        state, m = train_step(state, batch, rngs[i + 1])
+    float(m["loss"])
+    step_sec = (time.perf_counter() - t0) / n_steps
+    del state
+
+    # fwd + bwd ~= 3x forward FLOPs (standard accounting)
+    train_flops = 3.0 * flops_per_fwd * B
+    mfu = train_flops / step_sec / V5E_PEAK_FLOPS
+    return {
+        "metric": f"flagship_train_steps_per_sec_b{B}_{res}px_{T}f",
+        "value": round(1.0 / step_sec, 3),
+        "unit": "steps/sec/chip",
+        "vs_baseline": round(
+            (train_flops / step_sec) / (A100_PEAK_FLOPS * 0.35), 2
+        ),
+        "train_step_ms": round(step_sec * 1e3, 1),
+        "train_mfu": round(mfu, 4),
+        "train_tokens_per_sec": round(B * T / step_sec, 2),
+        "baseline_note": "A100 torch @35% MFU roofline (no published ref steps/sec)",
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true", help="CPU smoke test")
-    ap.add_argument("--window8", action="store_true", help="8-frame quick-start bench")
+    ap.add_argument("--window8", action="store_true",
+                    help="8-frame quick-start bench only")
     ap.add_argument("--frames", type=int, default=200)
-    ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="timed repeats of the 8-frame window bench")
+    ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--skip-rollout", action="store_true")
     ap.add_argument("--interp-batch", type=int, default=1,
                     help="interpolation max_batch_size (the flagship forward "
                     "anti-scales with batch at 256px on one v5e; 1 is fastest)")
@@ -142,30 +271,24 @@ def main():
     def model_apply(variables, x, noise_levels, cond, cond_mask):
         return model.apply(variables, x, noise_levels, cond, cond_mask)
 
-    # -- auditable FLOPs: one jitted denoiser forward at B=1 ---------------
-    fwd = jax.jit(model_apply)
-    x1 = jnp.zeros((1, T, res, res, 3))
-    k1 = jnp.full((1, T), 500.0)
-    p1 = jnp.zeros((1, T, res, res, pose_dim))
-    compiled = fwd.lower(variables, x1, k1, p1, None).compile()
-    flops_per_fwd = _flops_of(compiled)
-    out = fwd(variables, x1, k1, p1, None)
-    float(jnp.mean(out))  # force one full execution before timing
-    # chain the forwards (each consumes the previous output) and fetch one
-    # scalar at the end: on the tunneled platform block_until_ready can
-    # return at dispatch and per-call device_get pays a slow transfer path
-    n_fwd = 5
-    t0 = time.perf_counter()
-    x_c = x1
-    for _ in range(n_fwd):
-        x_c = fwd(variables, x_c, k1, p1, None)
-    float(jnp.mean(x_c))
-    fwd_sec = (time.perf_counter() - t0) / n_fwd
+    flops_per_fwd, fwd_sec = bench_forward(model, variables, res, T, pose_dim)
     fwd_mfu = flops_per_fwd / fwd_sec / V5E_PEAK_FLOPS
+    fwd_extras = {
+        "model": "UViT3DPose-467M" if not args.tiny else "UViT3DPose-tiny",
+        "flops_per_forward": flops_per_fwd,
+        "forward_ms": round(fwd_sec * 1e3, 2),
+        "forward_mfu": round(fwd_mfu, 4),
+        "peak_flops_ref": V5E_PEAK_FLOPS,
+    }
 
-    # -- the rollout --------------------------------------------------------
     n_context = 1
     total_frames = T if (args.window8 or args.tiny) else args.frames
+    # ONE rollout driver (and thus one jitted window sampler) for both the
+    # 8-frame and 200-frame workloads: every B=1 window — quick-start,
+    # keyframe, interpolation — shares a single compiled
+    # (B=1, T=8, S=50, H=2, G=1) signature (full_sequence scheduling never
+    # prunes rows, so S == sampling_timesteps for every context mask; that
+    # is why scan-length bucketing is unnecessary on this path)
     ro = DFoTRollout(
         RolloutConfig(
             max_tokens=T, x_shape=(res, res, 3),
@@ -178,94 +301,152 @@ def main():
     )
     rngk = jax.random.PRNGKey
 
-    if total_frames <= T:
-        hg = HistoryGuidance.vanilla(guidance_scale=4.0, timesteps=dcfg.timesteps)
-        ctx = jnp.zeros((1, T, res, res, 3))
-        mask = np.zeros((1, T), dtype=np.int64)
-        mask[:, :n_context] = 1
-        # conditions stay HOST-side numpy; the rollout slices per window
-        conds = np.zeros((1, T, res, res, pose_dim), np.float32)
+    # ---- workload 1: 8-frame quick-start --------------------------------
+    hg8 = HistoryGuidance.vanilla(guidance_scale=4.0, timesteps=dcfg.timesteps)
+    ctx8 = jnp.zeros((1, T, res, res, 3))
+    mask8 = np.zeros((1, T), dtype=np.int64)
+    mask8[:, :n_context] = 1
+    conds8 = np.zeros((1, T, res, res, pose_dim), np.float32)
 
-        def run(seed):
-            out = ro.sample_sequence(
-                variables, rngk(seed), 1, length=T, context=ctx,
-                context_mask=mask, conditions=conds, history_guidance=hg,
-            )
-            jax.block_until_ready(out)
-
-        metric = f"flagship_frames_per_sec_chip_{T}f_window_{steps}ddim_nfe2"
-        baseline_fps = 8.0 / 60.0  # reference: 8 frames in <1 min on 1 GPU
-    else:
-        pred_hg = HistoryGuidance.stabilized_vanilla(
-            guidance_scale=4.0, stabilization_level=0.02, timesteps=dcfg.timesteps
+    def run8(seed):
+        out = ro.sample_sequence(
+            variables, rngk(seed), 1, length=T, context=ctx8,
+            context_mask=mask8, conditions=conds8, history_guidance=hg8,
         )
-        interp_hg = HistoryGuidance.vanilla(
-            guidance_scale=1.5, timesteps=dcfg.timesteps
-        )
-        xs = jnp.zeros((1, total_frames, res, res, 3))
-        # 200 frames x 256^2 x 180ch of ray encodings: fp32 (9.4 GB) blows
-        # HBM, and host-side slices cost a ~188 MB upload per window over
-        # the tunnel. bf16 device-resident (4.7 GB) fits beside the bf16
-        # weights and makes per-window slicing a free device op.
-        if args.conds == "device_bf16":
-            # 4.7 GB resident: OOMs beside the window working set on 16G v5e
-            conds = jnp.zeros(
-                (1, total_frames, res, res, pose_dim), jnp.bfloat16
-            )
-        elif args.conds == "host_bf16":
-            import ml_dtypes
+        jax.block_until_ready(out)
 
-            conds = np.zeros(
-                (1, total_frames, res, res, pose_dim), ml_dtypes.bfloat16
-            )
-        else:
-            conds = np.zeros((1, total_frames, res, res, pose_dim), np.float32)
-
-        def run(seed):
-            out = ro.predict_videos(
-                variables, rngk(seed), xs, n_context,
-                conditions=conds,
-                prediction_hg=pred_hg, interpolation_hg=interp_hg,
-            )
-            jax.block_until_ready(out)
-
-        metric = f"flagship_frames_per_sec_chip_{total_frames}f_rollout_{steps}ddim"
-        baseline_fps = 200.0 / 600.0  # reference: ~10 min on 1 GPU
-
-    run(0)  # compile
-    ro.stats = {"denoiser_evals_b1": 0, "windows": 0}
-    times = []
+    run8(0)  # compile (persistent-cache warm) + first execution
+    times8 = []
     for i in range(args.repeats):
         t0 = time.perf_counter()
-        run(i + 1)
-        times.append(time.perf_counter() - t0)
+        run8(i + 1)
+        times8.append(time.perf_counter() - t0)
+    fps8 = (T - n_context) / min(times8)
+    window8_line = {
+        "metric": f"flagship_frames_per_sec_chip_{T}f_window_{steps}ddim_nfe2",
+        "value": round(fps8, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps8 / (8.0 / 60.0), 2),
+        **fwd_extras,
+    }
+    emit(window8_line)
+    if args.window8 or args.tiny or args.skip_rollout:
+        if not args.skip_train and not args.window8:
+            train_line = bench_train(
+                {"tiny": args.tiny}, variables, res, T, pose_dim, dcfg, sched,
+                flops_per_fwd,
+            )
+            emit(train_line)
+            emit({**window8_line,
+                  "train_steps_per_sec": train_line["value"],
+                  "train_mfu": train_line["train_mfu"]})
+        return
 
+    # ---- workload 2: the 200-frame north-star rollout (run ONCE) --------
+    pred_hg = HistoryGuidance.stabilized_vanilla(
+        guidance_scale=4.0, stabilization_level=0.02, timesteps=dcfg.timesteps
+    )
+    interp_hg = HistoryGuidance.vanilla(
+        guidance_scale=1.5, timesteps=dcfg.timesteps
+    )
+    # the full 200-frame sequence is HOST-side (the rollout orchestrates in
+    # numpy; only per-window slices are uploaded)
+    xs = np.zeros((1, total_frames, res, res, 3), np.float32)
+    # 200 frames x 256^2 x 180ch of ray encodings: fp32 (9.4 GB) blows HBM,
+    # and host-side slices cost a ~188 MB upload per window over the tunnel.
+    if args.conds == "device_bf16":
+        # 4.7 GB resident: OOMs beside the window working set on 16G v5e
+        conds = jnp.zeros((1, total_frames, res, res, pose_dim), jnp.bfloat16)
+    elif args.conds == "host_bf16":
+        import ml_dtypes
+
+        conds = np.zeros((1, total_frames, res, res, pose_dim), ml_dtypes.bfloat16)
+    else:
+        conds = np.zeros((1, total_frames, res, res, pose_dim), np.float32)
+
+    metric = f"flagship_frames_per_sec_chip_{total_frames}f_rollout_{steps}ddim"
+    baseline_fps = 200.0 / 600.0  # reference: ~10 min on 1 GPU
     gen_frames = total_frames - n_context
-    fps = gen_frames / min(times)
-    evals = ro.stats["denoiser_evals_b1"] // args.repeats
-    rollout_flops = evals * flops_per_fwd
-    rollout_mfu = rollout_flops / min(times) / V5E_PEAK_FLOPS
+    ro.stats = {"denoiser_evals_b1": 0, "windows": 0}
+    t_start = time.perf_counter()
+    prog = {"frames_known": n_context, "last_emit": 0.0}
 
+    def partial_line():
+        elapsed = time.perf_counter() - t_start
+        done = prog["frames_known"] - n_context
+        return {
+            "metric": metric,
+            "value": round(done / elapsed, 3),
+            "unit": "frames/sec/chip",
+            "vs_baseline": round(done / elapsed / baseline_fps, 2),
+            "partial": True,
+            "frames_done": done,
+            "frames_total": gen_frames,
+            "elapsed_sec": round(elapsed, 1),
+            "windows": ro.stats["windows"],
+            "window_compiles": ro._window_fn._cache_size(),
+        }
+
+    def on_progress(phase, info):
+        # confirmed-frames lower bound: "window" heartbeats time dispatch,
+        # not completion, so they reuse the last confirmed frame count
+        if "frames_known" in info:
+            prog["frames_known"] = info["frames_known"]
+        now = time.perf_counter()
+        if phase == "window" and now - prog["last_emit"] < 20.0:
+            return
+        prog["last_emit"] = now
+        emit(partial_line())
+
+    ro.progress = on_progress
+    out = ro.predict_videos(
+        variables, rngk(1), xs, n_context, conditions=conds,
+        prediction_hg=pred_hg, interpolation_hg=interp_hg,
+    )
+    jax.block_until_ready(out)
+    rollout_sec = time.perf_counter() - t_start
+    ro.progress = None
+
+    fps = gen_frames / rollout_sec
+    evals = ro.stats["denoiser_evals_b1"]
+    rollout_mfu = evals * flops_per_fwd / rollout_sec / V5E_PEAK_FLOPS
     extras = {}
     for k in ("keyframe_sec", "interp_sec", "keyframe_evals_b1"):
         if k in ro.stats:
             v = ro.stats[k]
-            extras[k] = round(v, 2) if isinstance(v, float) else v // args.repeats
-
-    print(json.dumps({
+            extras[k] = round(v, 2) if isinstance(v, float) else v
+    final_line = {
         "metric": metric,
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / baseline_fps, 2),
-        "model": "UViT3DPose-467M" if not args.tiny else "UViT3DPose-tiny",
-        "flops_per_forward": flops_per_fwd,
-        "forward_ms": round(fwd_sec * 1e3, 2),
-        "forward_mfu": round(fwd_mfu, 4),
+        **fwd_extras,
         "denoiser_evals_b1": evals,
         "rollout_mfu": round(rollout_mfu, 4),
-        "peak_flops_ref": V5E_PEAK_FLOPS,
+        "rollout_sec": round(rollout_sec, 1),
+        "window8_fps": window8_line["value"],
+        "window_compiles": ro._window_fn._cache_size(),
         **extras,
-    }))
+    }
+    emit(final_line)
+
+    # ---- workload 3: training throughput --------------------------------
+    if not args.skip_train:
+        try:
+            train_line = bench_train(
+                {"tiny": args.tiny}, variables, res, T, pose_dim, dcfg, sched,
+                flops_per_fwd,
+            )
+            emit(train_line)
+            final_line = {
+                **final_line,
+                "train_steps_per_sec": train_line["value"],
+                "train_mfu": train_line["train_mfu"],
+            }
+        except Exception as e:  # noqa: BLE001 — never lose the rollout line
+            final_line = {**final_line, "train_error": repr(e)[:200]}
+    # LAST line = the flagship rollout metric (with everything folded in)
+    emit(final_line)
 
 
 if __name__ == "__main__":

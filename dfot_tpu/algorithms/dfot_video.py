@@ -265,7 +265,21 @@ class DFoTVideoAlgo:
         k = jnp.zeros((B, T))
         cond = self._dummy_condition(B, T)
         rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1)}
-        return self.model.init(rngs, x, k, cond, None)
+        variables = self.model.init(rngs, x, k, cond, None)
+        # capture non-trainable collections (e.g. the continuous-diffusion
+        # FourierEmbedding's "buffers": fixed random freqs/phases, reference
+        # embeddings.py:94-102) so params-only apply paths can re-attach them
+        self._extra_cols = {k_: v for k_, v in variables.items() if k_ != "params"}
+        return variables
+
+    def _variables(self, params) -> Dict:
+        """Full variables dict for ``model.apply`` from a params tree."""
+        if getattr(self, "_extra_cols", None) is None:
+            if self.cfg.backbone.get("use_fourier_noise_embedding", False):
+                self.init_params(jax.random.PRNGKey(0))  # sets _extra_cols
+            else:
+                self._extra_cols = {}
+        return {"params": params, **self._extra_cols}
 
     def _dummy_condition(self, B: int, T: int):
         ect = self.cfg.get("external_cond_type")
@@ -284,7 +298,8 @@ class DFoTVideoAlgo:
 
     def _train_apply(self, params, x, noise_levels, cond, cond_mask, rngs=None, train=False):
         return self.model.apply(
-            {"params": params}, x, noise_levels, cond, cond_mask, train=train, rngs=rngs
+            self._variables(params), x, noise_levels, cond, cond_mask,
+            train=train, rngs=rngs,
         )
 
     # ------------------------------------------------------------------
@@ -402,7 +417,7 @@ class DFoTVideoAlgo:
                 if self.cfg.tasks[t].enabled
             )
         nct = n_context_tokens if n_context_tokens is not None else self.n_context_tokens
-        variables = {"params": params}
+        variables = self._variables(params)
         conds = self.process_conditions(conditions)
         if conds is not None and not isinstance(conds, jax.Array):
             conds = np.asarray(conds)

@@ -142,7 +142,7 @@ class DifferenceDFoTVideoAlgo(DFoTVideoAlgo):
             self.interpolation_hg_cfg, timesteps=self.dcfg.timesteps
         )
         out = ro.predict_videos(
-            {"params": params}, rng, merged, nct2, conds,
+            self._variables(params), rng, merged, nct2, conds,
             prediction_hg=hg, interpolation_hg=interp_hg,
         )
         gen_diff, frames = self.unmerge(out)
@@ -155,4 +155,6 @@ class DifferenceDFoTVideoAlgo(DFoTVideoAlgo):
         k = jnp.zeros((B, T))
         cond = self._dummy_condition(B, T)
         rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1)}
-        return self.model.init(rngs, x, k, cond, None)
+        variables = self.model.init(rngs, x, k, cond, None)
+        self._extra_cols = {k_: v for k_, v in variables.items() if k_ != "params"}
+        return variables

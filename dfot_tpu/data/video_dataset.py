@@ -161,6 +161,10 @@ class VideoDataset:
     def _split_dir(self) -> str:
         return os.path.join(self.save_dir, self.split)
 
+    def _keep_file(self, name: str) -> bool:
+        """Layout-adapter hook: skip non-video sibling files in the walk."""
+        return True
+
     def _load_metadata(self) -> List[Dict[str, Any]]:
         cache = os.path.join(self.save_dir, "metadata", f"{self.split}.npz")
         if os.path.exists(cache):
@@ -186,6 +190,8 @@ class VideoDataset:
         metadata = []
         for root, _dirs, files in sorted(os.walk(split_dir)):
             for name in sorted(files):
+                if not self._keep_file(name):
+                    continue
                 path = os.path.join(root, name)
                 if name.endswith(".npz"):
                     with np.load(path) as z:
@@ -299,7 +305,12 @@ class VideoDataset:
             aug = self.cfg.get("augmentation")
             aug_prob = self.cfg.get("augmentation_prob", 0.0) or 0.0
             rng = np.random.RandomState((idx * 2654435761 + 12345) % 2**31)
-            if aug is not None and video is not None:
+            _RE10K_KEYS = ("horizontal_flip_prob", "reverse_prob", "back_and_forth_prob")
+            if (
+                aug is not None
+                and video is not None
+                and any(aug.get(k) for k in _RE10K_KEYS)
+            ):
                 from .augmentation import re10k_augment
 
                 is_pose = cond is not None and cond.ndim == 2 and cond.shape[-1] == 16
@@ -311,10 +322,20 @@ class VideoDataset:
                 )
                 if is_pose:
                     cond = new_cond
-            elif aug_prob > 0 and video is not None:
+            elif aug is not None and video is not None:
+                # EDM AugmentPipe config dict (reference ucf_101.py:288:
+                # AugmentPipe(**cfg.augmentation))
                 from .augmentation import AugmentPipe
 
-                video = AugmentPipe(p=aug_prob)(video, rng)
+                video = AugmentPipe(**dict(aug))(video, rng)
+            elif aug_prob > 0 and video is not None:
+                # legacy scalar prob: the classic blit+color subset
+                from .augmentation import AugmentPipe
+
+                video = AugmentPipe(
+                    p=aug_prob, xflip=1.0, rotate_int=1.0,
+                    brightness=1.0, contrast=1.0, saturation=1.0,
+                )(video, rng)
 
         length = next(
             len(a)
@@ -424,4 +445,7 @@ def build_dataset(cfg, split: str = "training", current_epoch: Optional[int] = N
             channels=cfg.observation_shape[0],
             cond_dim=cfg.external_cond_dim or 0,
         )
-    return VideoDataset(cfg, split, current_epoch)
+    from .layouts import LAYOUTS
+
+    cls = LAYOUTS.get(name, VideoDataset)
+    return cls(cfg, split, current_epoch)

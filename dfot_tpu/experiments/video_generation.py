@@ -580,7 +580,7 @@ class VideoGenerationExperiment:
                 noise = dc.clipped_normal(rng, xs.shape, algo.dcfg.clip_noise)
                 x_t = dc.q_sample(algo.sched, xs, k, noise)
                 _, maps = capture_attention_maps(
-                    algo.model, {"params": params}, x_t, k.astype(jnp.float32),
+                    algo.model, algo._variables(params), x_t, k.astype(jnp.float32),
                     conds, None,
                 )
                 paths = save_attention_heatmaps(maps, out_dir, timestep=t)
@@ -626,6 +626,25 @@ class VideoGenerationExperiment:
         )
 
         state = strip_checkpoint(load_state_dict(path))
+        # continuous-diffusion checkpoints carry the FourierEmbedding's fixed
+        # random freqs/phases as torch buffers (reference embeddings.py:
+        # 100-102, noise_level_pos_embedding.timesteps.*) — install them so
+        # imported models reproduce the checkpoint bit-for-bit instead of
+        # using our deterministic re-draws
+        import numpy as _np
+
+        fr = {
+            k: _np.asarray(v)
+            for k, v in state.items()
+            if k.endswith((".freqs", ".phases"))
+        }
+        if fr:
+            buf = {
+                name.rsplit(".", 1)[-1]: jnp.asarray(v) for name, v in fr.items()
+            }
+            self.algo._extra_cols = {
+                "buffers": {"noise_emb": {"fourier": buf}}
+            }
         bcfg = self.cfg.algorithm.backbone
         name = bcfg.name
         if name.startswith("dit3d") or name.startswith("difference_dit3d"):

@@ -244,6 +244,36 @@ class SharedMetricModelRegistry:
             self._models["pips"] = track
         return self._models["pips"]
 
+    def musiq(self) -> Optional[Callable]:
+        """Image quality: (B, H, W, 3) in [0,1] -> (B,) MUSIQ scores 0-100
+        (reference models/musiq.py; pyiqa musiq_spaq weights as musiq.npz).
+        Like raft()/amt(), returns None without real weights — the
+        classical sharpness/blockiness proxy in vbench.py is a better
+        fallback than random transformer weights."""
+        if "musiq" not in self._models:
+            path = os.path.join(self.weights_dir or "", "musiq.npz")
+            if not (self.weights_dir and os.path.exists(path)):
+                self.comparable["musiq"] = False
+                self._models["musiq"] = None
+                return None
+            from .musiq import MUSIQ
+
+            model = MUSIQ()
+            flat = dict(np.load(path))
+            params = _unflatten({k: jnp.asarray(v) for k, v in flat.items()})
+            init = model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3))
+            )["params"]
+            _check_tree("musiq", path, params, init)
+            self.comparable["musiq"] = True
+
+            @jax.jit
+            def apply(x):
+                return model.apply({"params": params}, x)
+
+            self._models["musiq"] = apply
+        return self._models["musiq"]
+
     def inception(self) -> Callable:
         """Frame features for FID: (B, H, W, 3) in [0,1] -> (B, 2048).
 

@@ -100,13 +100,11 @@ def _dynamic_degree_score(flows: np.ndarray, resolution: int) -> np.ndarray:
 def imaging_quality(videos: np.ndarray) -> float:
     """No-reference per-frame imaging quality, [0, 1] (higher = better).
 
-    The reference scores this dim with pretrained MUSIQ via pyiqa
-    (vbench/imaging_quality.py); pyiqa's source is not vendored here, so a
-    structurally-faithful port cannot be verified — instead this classical
-    proxy combines normalized Laplacian-variance sharpness with a
-    blockiness penalty (8px-grid gradient excess, the classic JPEG
-    artifact measure). Scores are flagged ``_uncalibrated`` until MUSIQ
-    weights + architecture land.
+    Weight-free fallback for the MUSIQ path (metrics/musiq.py): when no
+    ``musiq.npz`` weights are available (registry.musiq() is None) this
+    classical proxy combines normalized Laplacian-variance sharpness with
+    a blockiness penalty (8px-grid gradient excess, the classic JPEG
+    artifact measure). Scores are flagged ``_uncalibrated``.
     """
     v = np.clip(np.asarray(videos, np.float32), 0, 1)
     B, T = v.shape[:2]
@@ -125,6 +123,19 @@ def imaging_quality(videos: np.ndarray) -> float:
     off = gx.mean(axis=(-2, -1)) + 1e-8
     blocky = np.clip(on / off - 1.0, 0.0, 1.0)
     return float(np.clip(sharp * (1.0 - blocky), 0.0, 1.0).mean())
+
+
+def imaging_quality_musiq(videos: np.ndarray, musiq_fn) -> float:
+    """imaging_quality with the real MUSIQ predictor (the reference path,
+    vbench/imaging_quality.py:14-22): each frame gets a 0-100 MUSIQ
+    rating, normalized to [0, 1] and averaged over frames then videos.
+    videos (B, T, H, W, C) in [0, 1]."""
+    B, T = videos.shape[:2]
+    frames = videos.reshape((B * T,) + videos.shape[2:])
+    if frames.shape[-1] == 1:
+        frames = np.repeat(frames, 3, axis=-1)
+    scores = np.asarray(musiq_fn(frames)).reshape(B, T)
+    return float(np.clip(scores.mean(axis=1) / 100.0, 0.0, 1.0).mean())
 
 
 def motion_smoothness_amt(videos: np.ndarray, amt_fn) -> float:
@@ -268,7 +279,13 @@ class VBenchQuality:
                 else:
                     self._scores[dim].append(dynamic_degree(videos))
             elif dim == "imaging_quality":
-                self._scores[dim].append(imaging_quality(videos))
+                musiq_fn = (
+                    self.registry.musiq() if self.registry is not None else None
+                )
+                if musiq_fn is not None:
+                    self._scores[dim].append(imaging_quality_musiq(videos, musiq_fn))
+                else:
+                    self._scores[dim].append(imaging_quality(videos))
             elif self.registry is not None and dim in (
                 "subject_consistency", "background_consistency",
                 "aesthetic_quality",

@@ -10,6 +10,15 @@ the DFoT sampling API (reference: algorithms/dfot/dfot_video.py:80-514):
 
 Shapes are padded to the model horizon so each distinct (B, T, S, H, G)
 signature compiles once; all plan math is numpy (see planner.py).
+
+The long-video bookkeeping (window slicing, keyframe scatter, interpolation
+chunk gather/scatter) is HOST NUMPY by design: every ``xs[:, frames]``
+gather or ``.at[frames].set`` scatter expressed in jax would compile a
+fresh tiny XLA program per distinct frame tuple — measured at ~10 s each
+through the remote compile service, ~320 s of stalls across a 200-frame
+rollout (round-3 bench). The device executes exactly one program: the
+window-sampler scan; windows within an interpolation round still dispatch
+ahead asynchronously (outputs are fetched per round, not per window).
 """
 
 from __future__ import annotations
@@ -78,6 +87,10 @@ class DFoTRollout:
         # denoiser-eval accounting (B=1-equivalent forward passes) for
         # auditable FLOPs/MFU reporting in bench.py
         self.stats = {"denoiser_evals_b1": 0, "windows": 0}
+        # optional progress callback: progress(phase: str, info: dict).
+        # bench.py uses it to emit incremental throughput lines during long
+        # rollouts so a timeout still leaves a parsable JSON tail
+        self.progress = None
         self._window_fn = make_window_sampler(
             model_apply,
             dcfg,
@@ -176,7 +189,12 @@ class DFoTRollout:
             num_hist=plan.num_hist,
             num_gen=plan.num_gen,
         )
-        return out[:, :length]
+        if length == out.shape[1]:
+            # full-horizon window: hand back the device array untouched so
+            # callers can keep dispatching ahead (no device slice op — a
+            # jnp slice would compile one tiny program per distinct length)
+            return out
+        return np.asarray(out)[:, :length]
 
     # ------------------------------------------------------------------
     # sliding-window prediction
@@ -205,14 +223,16 @@ class DFoTRollout:
             cfg.chunk_size,
             cfg.use_causal_mask,
         )
-        xs_pred = context
+        # xs_pred stays HOST numpy: the per-window concat/slice shapes vary,
+        # so jnp here would compile a fresh program per window
+        xs_pred = np.asarray(context, np.float32)
         for w in windows:
             rng, r_w = jax.random.split(rng)
             c, h = w.context_len, w.gen_len
-            win_ctx = jnp.concatenate(
+            win_ctx = np.concatenate(
                 [
                     xs_pred[:, -c:],
-                    jnp.zeros((batch_size, h) + tuple(cfg.x_shape), xs_pred.dtype),
+                    np.zeros((batch_size, h) + tuple(cfg.x_shape), xs_pred.dtype),
                 ],
                 axis=1,
             )
@@ -234,7 +254,7 @@ class DFoTRollout:
                 conditions=cond_slice,
                 history_guidance=history_guidance,
             )
-            xs_pred = jnp.concatenate([xs_pred, new[:, -h:]], axis=1)
+            xs_pred = np.concatenate([xs_pred, np.asarray(new)[:, -h:]], axis=1)
         return xs_pred
 
     # ------------------------------------------------------------------
@@ -262,7 +282,10 @@ class DFoTRollout:
         context_mask = np.asarray(context_mask).astype(bool)
 
         plan = interpolation_plan(context_mask[0], cfg.max_tokens)
-        xs = context
+        # the full sequence lives on HOST; only per-window contexts go to
+        # device (see module docstring — avoids per-frame-tuple compiles).
+        # copy: np.asarray of a jax array is a read-only view
+        xs = np.array(context, np.float32, copy=True)
         known = context_mask.copy()
         max_bs = cfg.interpolation_max_batch_size
 
@@ -271,35 +294,33 @@ class DFoTRollout:
             chunk_ctx, chunk_mask, chunk_cond = [], [], []
             for frames in rnd:
                 n = len(frames)
-                ctx = xs[:, jnp.asarray(frames)]
+                ctx = _take_frames(xs, frames)
                 pad = cfg.max_tokens - n
                 if pad:
-                    ctx = jnp.concatenate(
-                        [ctx, jnp.zeros((B, pad) + tuple(cfg.x_shape), ctx.dtype)], 1
+                    ctx = np.concatenate(
+                        [ctx, np.zeros((B, pad) + tuple(cfg.x_shape), ctx.dtype)], 1
                     )
                 m = np.full((B, cfg.max_tokens), -1, dtype=np.int64)
                 m[:, :n] = known[:, frames].astype(np.int64)
                 chunk_ctx.append(ctx)
                 chunk_mask.append(m)
                 if conditions is not None:
-                    xp = np if isinstance(conditions, np.ndarray) else jnp
+                    conditions = np.asarray(conditions)
                     if cfg.external_cond_type == "label":
                         chunk_cond.append(conditions)
                     else:
                         csel = _take_frames(conditions, frames)
                         if pad:
-                            cz = xp.zeros((B, pad) + conditions.shape[2:], csel.dtype)
-                            csel = xp.concatenate([csel, cz], 1)
+                            cz = np.zeros((B, pad) + conditions.shape[2:], csel.dtype)
+                            csel = np.concatenate([csel, cz], 1)
                         chunk_cond.append(csel)
 
-            all_ctx = jnp.concatenate(chunk_ctx, 0)
+            all_ctx = np.concatenate(chunk_ctx, 0)
             all_mask = np.concatenate(chunk_mask, 0)
-            all_cond = None
-            if chunk_cond:
-                xp = np if isinstance(chunk_cond[0], np.ndarray) else jnp
-                all_cond = xp.concatenate(chunk_cond, 0)
+            all_cond = np.concatenate(chunk_cond, 0) if chunk_cond else None
 
-            # split into max_batch_size chunks to bound NFE-expanded memory
+            # split into max_batch_size chunks to bound NFE-expanded memory;
+            # outputs stay on device until the whole round has dispatched
             N = all_ctx.shape[0]
             bs = max_bs or N
             outs = []
@@ -317,11 +338,19 @@ class DFoTRollout:
                         history_guidance=history_guidance,
                     )
                 )
-            out = jnp.concatenate(outs, 0)
+                if self.progress is not None:
+                    # non-blocking heartbeat (dispatch-time, not completion)
+                    self.progress("window", {"windows": self.stats["windows"]})
+            out = np.concatenate([np.asarray(o) for o in outs], 0)
             for ci, frames in enumerate(rnd):
                 pred = out[ci * B : (ci + 1) * B, : len(frames)]
-                xs = xs.at[:, jnp.asarray(frames)].set(pred)
+                for j, f in enumerate(frames):
+                    xs[:, f] = pred[:, j]
                 known[:, frames] = True
+            if self.progress is not None:
+                self.progress(
+                    "interp_round", {"frames_known": int(known[0].sum())}
+                )
         return xs
 
     # ------------------------------------------------------------------
@@ -368,7 +397,12 @@ class DFoTRollout:
             self.stats.get("keyframe_evals_b1", 0)
             + self.stats["denoiser_evals_b1"] - ev0
         )
-        xs_pred = xs.at[:, jnp.asarray(keys)].set(xs_key.astype(xs.dtype))
+        if self.progress is not None:
+            self.progress("keyframes", {"frames_known": len(keys)})
+        xs_pred = np.asarray(xs, np.float32).copy()
+        xs_key = np.asarray(xs_key, np.float32)
+        for j, f in enumerate(keys):
+            xs_pred[:, f] = xs_key[:, j]
 
         if len(keys) < T:
             mask = np.zeros((B, T), dtype=bool)
@@ -383,7 +417,6 @@ class DFoTRollout:
                 conditions=conditions,
                 history_guidance=interpolation_hg,
             )
-            jax.block_until_ready(xs_pred)
             self.stats["interp_sec"] = (
                 self.stats.get("interp_sec", 0.0) + _time.perf_counter() - t1
             )

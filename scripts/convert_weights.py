@@ -10,6 +10,8 @@ Kinds and expected source checkpoints:
     inception             torchvision-keyed FID InceptionV3 (pt-inception)
     lpips                 --src lpips vgg.pth  --vgg torchvision vgg16 .pth
     i3d                   flax-tree npz passthrough (or torch, keys as-is)
+    raft / amt / pips     reference eval-model torch checkpoints
+    musiq                 pyiqa musiq_spaq_ckpt (imaging_quality predictor)
     dc_ae                 reference DC-AE safetensors/pt (encoder.*/decoder.*)
     titok                 reference TiTok_KL safetensors/pt
 
@@ -45,7 +47,8 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--kind", required=True,
                     choices=["clip_b32", "clip_l14", "dino", "laion",
-                             "inception", "lpips", "i3d", "raft", "amt", "pips", "dc_ae", "titok"])
+                             "inception", "lpips", "i3d", "raft", "amt",
+                             "pips", "musiq", "dc_ae", "titok"])
     ap.add_argument("--src", required=True, help="torch checkpoint path")
     ap.add_argument("--vgg", help="torchvision vgg16 state dict (lpips only)")
     ap.add_argument("--out", help="output .npz (default <kind>.npz beside src)")
@@ -91,6 +94,10 @@ def main() -> None:
         from dfot_tpu.metrics.pips import import_pips_params
 
         tree = import_pips_params(state)
+    elif kind == "musiq":
+        from dfot_tpu.metrics.musiq import import_musiq_params
+
+        tree = import_musiq_params(state)
     elif kind == "dc_ae":
         from dfot_tpu.vae import import_dc_ae_params
 

@@ -124,3 +124,38 @@ def test_difference_algo_sliding_window_sampling():
     np.testing.assert_allclose(
         np.asarray(out["prediction"][:, 0]), np.asarray(xs[:, 0]), atol=1e-5
     )
+
+
+def test_difference_factorized_matrix_train_and_sample():
+    """The difference+matrix-attention recipe (reference configurations/
+    algorithm/backbone/difference_dit3d_factorized_matrix.yaml): config leaf
+    loads, one train step + one sampling pass run."""
+    from dfot_tpu.algorithms import build_algorithm
+
+    cfg = load_config(
+        TINY_DIFF_OVERRIDES
+        + [
+            "algorithm/backbone=difference_dit3d_factorized_matrix",
+            "++algorithm.backbone.hidden_size=32",
+            "++algorithm.backbone.embed_row_dim=32",
+            "++algorithm.backbone.num_heads=2",
+            "++algorithm.backbone.num_row_heads=2",
+            "++algorithm.backbone.depth=1",
+            "++algorithm.backbone.use_gradient_checkpointing=false",
+        ]
+    )
+    assert cfg.algorithm.backbone.variant == "factorized_matrix_attention"
+    assert cfg.algorithm.backbone.merge_type == "interleaved"
+    algo = build_algorithm(cfg, compute_dtype=jnp.float32)
+    state = algo.make_train_state(jax.random.PRNGKey(0))
+    step = algo.make_train_step()
+    batch = {
+        "xs": jnp.ones((2, 2, 8, 8, 3)) * 0.4,
+        "masks": jnp.ones((2, 2), bool),
+    }
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    out = algo.sample_videos(
+        state.params, jax.random.PRNGKey(2), batch["xs"], n_context_tokens=1
+    )
+    assert out["prediction"].shape == batch["xs"].shape
