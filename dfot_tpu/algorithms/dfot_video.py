@@ -26,7 +26,12 @@ from ..training import (
     make_optimizer,
     make_train_step,
 )
-from ..utils.geometry import conditioning_dim, process_camera_conditions
+from ..utils.geometry import (
+    conditioning_dim,
+    expand_pose_conditions_jax,
+    normalize_camera_conditions,
+    process_camera_conditions,
+)
 
 __all__ = ["DFoTVideoAlgo", "DFoTVideoPoseAlgo", "build_algorithm"]
 
@@ -83,6 +88,7 @@ class DFoTVideoAlgo:
             keyframe_density=pred.get("keyframe_density"),
             interpolation_max_batch_size=interp.get("max_batch_size"),
             scan_bucket=cfg.get("scan_bucket", 0) or 0,
+            cond_transform=self._cond_transform(),
             refinement=(
                 dict(cfg.refinement_sampling.to_dict())
                 if cfg.refinement_sampling.enabled
@@ -297,10 +303,18 @@ class DFoTVideoAlgo:
         return self.model.apply(variables, x, noise_levels, cond, cond_mask)
 
     def _train_apply(self, params, x, noise_levels, cond, cond_mask, rngs=None, train=False):
+        ct = self._cond_transform()
+        if cond is not None and ct is not None:
+            cond = ct(cond)
         return self.model.apply(
             self._variables(params), x, noise_levels, cond, cond_mask,
             train=train, rngs=rngs,
         )
+
+    def _cond_transform(self):
+        """Optional device-side condition expansion (pose subclass: compact
+        camera vectors -> per-pixel ray maps, traced inside jit)."""
+        return None
 
     # ------------------------------------------------------------------
     # conditions
@@ -486,14 +500,39 @@ class DFoTVideoPoseAlgo(DFoTVideoAlgo):
             and self.prediction_hg_cfg.name == "temporal"
         ):
             interp_mask = np.asarray(noise_levels) == self.dcfg.timesteps - 1
-        return process_camera_conditions(
+        if cpc.type == "global":
+            return process_camera_conditions(
+                np.asarray(conditions, dtype=np.float32),
+                conditioning_type="global",
+                normalize_by=cpc.normalize_by,
+                bound=cpc.get("bound"),
+                interpolation_mask=interp_mask,
+            )
+        # ray formats: only the sequence-level normalization happens on host
+        # (fp32 quaternion math); the per-pixel expansion to ray / plucker /
+        # ray-encoding maps runs ON DEVICE inside the jitted sampler and
+        # train step (_cond_transform) — the compact (B, T, 16) vectors are
+        # all the rollout ever copies or uploads
+        return normalize_camera_conditions(
             np.asarray(conditions, dtype=np.float32),
-            conditioning_type=cpc.type,
             normalize_by=cpc.normalize_by,
             bound=cpc.get("bound"),
-            resolution=self.cfg.x_shape[1] if not self.is_latent else self.x_shape[0],
             interpolation_mask=interp_mask,
         )
+
+    def _pose_resolution(self) -> int:
+        return self.cfg.x_shape[1] if not self.is_latent else self.x_shape[0]
+
+    def _cond_transform(self):
+        cpc = self.cfg.camera_pose_conditioning
+        if cpc.type == "global":
+            return None
+        ctype, res, dtype = cpc.type, self._pose_resolution(), self.compute_dtype
+
+        def expand(cond):
+            return expand_pose_conditions_jax(cond, ctype, res).astype(dtype)
+
+        return expand
 
     def _dummy_condition(self, B, T):
         res = self.cfg.x_shape[1] if not self.is_latent else self.x_shape[0]

@@ -572,6 +572,9 @@ class VideoGenerationExperiment:
         conds = algo.process_conditions(batch.get("conds"))
         if conds is not None:
             conds = jnp.asarray(conds)[:1]
+            ct = algo._cond_transform()
+            if ct is not None:  # pose vectors -> device-side ray maps
+                conds = ct(conds)
         rng = jax.random.PRNGKey(0)
         set_attention_capture(True)
         try:

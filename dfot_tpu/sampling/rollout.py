@@ -61,6 +61,9 @@ class RolloutConfig:
     keyframe_density: Optional[float] = None
     interpolation_max_batch_size: Optional[int] = None
     refinement: Optional[dict] = None
+    # optional device-side condition expansion (applied once per window
+    # inside the jitted sampler, e.g. camera poses -> ray-encoding maps)
+    cond_transform: Optional[Callable] = None
     # round the scan length S up to a multiple of this bucket (0 = exact):
     # heterogeneous context masks then share one compiled (B, T, S, H, G)
     # signature instead of recompiling per distinct mask, at the cost of a
@@ -99,6 +102,7 @@ class DFoTRollout:
             use_ddpm=not dcfg.is_ddim_sampling,
             reconstruction_guidance=dcfg.reconstruction_guidance,
             mesh=cfg.mesh,
+            cond_transform=cfg.cond_transform,
         )
 
     # ------------------------------------------------------------------
@@ -288,6 +292,8 @@ class DFoTRollout:
         xs = np.array(context, np.float32, copy=True)
         known = context_mask.copy()
         max_bs = cfg.interpolation_max_batch_size
+        if conditions is not None:
+            conditions = np.asarray(conditions)  # one fetch if device-resident
 
         for rnd in plan:
             # batch all chunks of this round together
@@ -305,7 +311,6 @@ class DFoTRollout:
                 chunk_ctx.append(ctx)
                 chunk_mask.append(m)
                 if conditions is not None:
-                    conditions = np.asarray(conditions)
                     if cfg.external_cond_type == "label":
                         chunk_cond.append(conditions)
                     else:

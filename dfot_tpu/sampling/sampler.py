@@ -210,6 +210,7 @@ def make_window_sampler(
     reconstruction_guidance: float = 0.0,
     mesh=None,
     data_axis: str = "data",
+    cond_transform: Optional[Callable] = None,
 ):
     """Build the jitted one-window sampler.
 
@@ -266,6 +267,13 @@ def make_window_sampler(
     ) -> jax.Array:
         B, T = x_init.shape[:2]
         nfe = num_hist * num_gen
+        if conditions is not None and cond_transform is not None:
+            # e.g. camera-pose -> per-pixel ray maps: expanded ONCE per
+            # window here (inside jit, outside the scan) so the big map is
+            # a device-resident scan invariant and the host/rollout only
+            # ever handles the compact vectors (utils/geometry.py:
+            # normalize_camera_conditions)
+            conditions = cond_transform(conditions)
 
         def step(carry, scan_in):
             xs, rng = carry

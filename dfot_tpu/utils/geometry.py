@@ -27,6 +27,8 @@ __all__ = [
     "quat_to_rotmat",
     "quat_slerp",
     "process_camera_conditions",
+    "normalize_camera_conditions",
+    "expand_pose_conditions_jax",
 ]
 
 
@@ -261,3 +263,80 @@ def process_camera_conditions(
     if conditioning_type == "ray_encoding":
         return rays.to_pos_encoding()
     return rays.to_tensor(use_plucker=conditioning_type == "plucker").astype(np.float32)
+
+
+def normalize_camera_conditions(
+    raw: np.ndarray,
+    normalize_by: str = "first",
+    bound: Optional[float] = None,
+    interpolation_mask: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Host half of the pose pipeline: the numerics-sensitive sequence-level
+    normalization (quaternion mean, SLERP infill, bounds scaling) on the
+    compact (B, T, 16) vectors. The per-pixel ray expansion happens ON
+    DEVICE (:func:`expand_pose_conditions_jax`) — materializing the
+    180-channel ray-encoding maps on host costs ~24 MB/frame of host copies
+    and uploads per sampling window (measured as multi-minute stalls on the
+    single-core TPU host for 200-frame rollouts)."""
+    poses = CameraPose.from_vectors(raw)
+    if interpolation_mask is not None:
+        poses.replace_with_interpolation(interpolation_mask)
+    if normalize_by == "first":
+        poses.normalize_by_first()
+    elif normalize_by == "mean":
+        poses.normalize_by_mean()
+    else:
+        raise ValueError(f"unknown pose normalization {normalize_by}")
+    if bound is not None:
+        poses.scale_within_bounds(bound)
+    return np.concatenate([poses.K, poses.extrinsics(flatten=True)], axis=-1)
+
+
+def expand_pose_conditions_jax(pose16, conditioning_type: str, resolution: int):
+    """Device-side ray expansion: normalized (B, T, 16) pose vectors ->
+    (B, T, H, W, C) conditioning maps, fp32 (jnp mirror of
+    :meth:`CameraPose.rays` + :class:`Ray` encodings; reference
+    dfot_video_pose.py:64-110 computes this on-GPU at fp32 too)."""
+    import jax.numpy as jnp
+
+    pose16 = pose16.astype(jnp.float32)
+    # all-zero rows are window padding (the rollout pads pose VECTORS now,
+    # where it used to pad the expanded maps): emit zero maps, and divide
+    # safely so no inf/nan leaks through the trig into the network
+    valid = jnp.any(pose16 != 0.0, axis=-1)[..., None, None, None]
+    K = pose16[..., :4] * resolution
+    RT = pose16[..., 4:16].reshape(pose16.shape[:-1] + (3, 4))
+    R, T = RT[..., :3], RT[..., 3]
+    coords = jnp.arange(resolution, dtype=jnp.float32) + 0.5
+    coord_w, coord_h = jnp.meshgrid(coords, coords, indexing="xy")
+    fx, fy, px, py = [K[..., i][..., None, None] for i in range(4)]
+    fx = jnp.where(fx == 0.0, 1.0, fx)
+    fy = jnp.where(fy == 0.0, 1.0, fy)
+    x = (coord_w[None, None] - px) / fx
+    y = (coord_h[None, None] - py) / fy
+    z = jnp.ones_like(x)
+    direction = jnp.stack([x, y, z], axis=-1)  # (B, T, H, W, 3)
+    R_inv = jnp.swapaxes(R, -1, -2)
+    direction = jnp.einsum("btij,bthwj->bthwi", R_inv, direction)
+    origin = -jnp.einsum("btij,btj->bti", R_inv, T)
+    origin = jnp.broadcast_to(origin[:, :, None, None, :], direction.shape)
+
+    if conditioning_type == "ray":
+        return jnp.where(valid, jnp.concatenate([origin, direction], axis=-1), 0.0)
+    if conditioning_type == "plucker":
+        norm = jnp.linalg.norm(direction, axis=-1, keepdims=True)
+        d = direction / jnp.where(norm == 0.0, 1.0, norm)
+        moment = jnp.cross(origin, d, axis=-1)
+        return jnp.where(valid, jnp.concatenate([d, moment], axis=-1), 0.0)
+    if conditioning_type != "ray_encoding":
+        raise ValueError(f"unknown conditioning type {conditioning_type!r}")
+
+    def enc(v, freq=15):
+        scale = (2.0 ** jnp.arange(freq, dtype=jnp.float32)) * math.pi
+        e = v[..., None] * scale
+        e = e.reshape(v.shape[:-1] + (3 * freq,))
+        return jnp.sin(jnp.concatenate([e, e + 0.5 * math.pi], axis=-1))
+
+    return jnp.where(
+        valid, jnp.concatenate([enc(origin), enc(direction)], axis=-1), 0.0
+    )

@@ -226,3 +226,104 @@ def test_uvit3d_gradients():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     assert sum(float(jnp.abs(l).sum()) for l in leaves) > 0
+
+
+def _random_valid_poses(B, T, seed=0):
+    rng = np.random.RandomState(seed)
+    pose = np.zeros((B, T, 16), np.float32)
+    pose[..., :4] = [0.9, 0.9, 0.5, 0.5]
+    for b in range(B):
+        for t in range(T):
+            a, bb, c = rng.uniform(-0.5, 0.5, 3)
+            Rz = np.array([[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0], [0, 0, 1]])
+            Ry = np.array([[np.cos(bb), 0, np.sin(bb)], [0, 1, 0], [-np.sin(bb), 0, np.cos(bb)]])
+            Rx = np.array([[1, 0, 0], [0, np.cos(c), -np.sin(c)], [0, np.sin(c), np.cos(c)]])
+            R = (Rz @ Ry @ Rx).astype(np.float32)
+            Tv = rng.uniform(-1, 1, 3).astype(np.float32)
+            pose[b, t, 4:] = np.concatenate([R, Tv[:, None]], 1).reshape(-1)
+    return pose
+
+
+@pytest.mark.parametrize("ctype", ["ray", "plucker", "ray_encoding"])
+def test_device_ray_expansion_matches_host(ctype):
+    """The jnp ray expansion (runs inside the jitted sampler) must match the
+    host numpy path bit-for-tolerance: normalize on host (compact vectors),
+    expand on device == full host process_camera_conditions."""
+    from dfot_tpu.utils.geometry import (
+        expand_pose_conditions_jax,
+        normalize_camera_conditions,
+        process_camera_conditions,
+    )
+
+    raw = _random_valid_poses(2, 3)
+    host = process_camera_conditions(
+        raw, conditioning_type=ctype, normalize_by="first", resolution=8
+    )
+    compact = normalize_camera_conditions(raw, normalize_by="first")
+    assert compact.shape == (2, 3, 16)
+    dev = np.asarray(expand_pose_conditions_jax(jnp.asarray(compact), ctype, 8))
+    assert dev.shape == host.shape
+    if ctype == "ray_encoding":
+        # the top NeRF octaves multiply coords by 2^14*pi, so fp32
+        # evaluation-order differences (jnp einsum vs numpy) shift the sin
+        # argument by ~1e-2 rad — inherent to the encoding, not a port bug
+        # (the reference's GPU fp32 differs from host numpy identically)
+        assert np.mean(np.abs(dev - host) < 1e-3) > 0.97
+        np.testing.assert_allclose(dev, host, atol=0.05)
+    else:
+        np.testing.assert_allclose(dev, host, atol=2e-4, rtol=2e-4)
+
+
+def test_normalize_camera_conditions_roundtrip_fields():
+    """normalize(..)[:, 0] has identity extrinsics under normalize_by=first
+    and preserves intrinsics."""
+    from dfot_tpu.utils.geometry import normalize_camera_conditions
+
+    raw = _random_valid_poses(1, 4, seed=3)
+    out = normalize_camera_conditions(raw, normalize_by="first")
+    np.testing.assert_allclose(out[..., :4], raw[..., :4], atol=1e-6)
+    E0 = out[0, 0, 4:].reshape(3, 4)
+    np.testing.assert_allclose(E0[:, :3], np.eye(3), atol=1e-5)
+    np.testing.assert_allclose(E0[:, 3], 0.0, atol=1e-5)
+
+
+def test_pose_algo_uses_compact_conditions():
+    """DFoTVideoPoseAlgo: process_conditions returns (B, T, 16); the
+    rollout's cond_transform expands to the model's map format on device."""
+    from dfot_tpu.algorithms import build_algorithm
+    from dfot_tpu.config import load_config
+
+    cfg = load_config([
+        "+name=pose_smoke", "dataset=realestate10k_mini",
+        "algorithm=dfot_video_pose", "experiment=video_generation",
+        "++dataset.resolution=16", "++dataset.n_frames=4",
+        "++dataset.context_length=1", "++dataset.frame_skip=1",
+        "++algorithm.backbone.channels=[32,32]",
+        "++algorithm.backbone.num_updown_blocks=[1]",
+        "++algorithm.backbone.num_mid_blocks=1",
+        "++algorithm.backbone.block_types=[ResBlock,TransformerBlock]",
+        "++algorithm.backbone.block_dropouts=[0,0]",
+        "++algorithm.backbone.num_heads=2",
+        "++algorithm.backbone.use_checkpointing=[false,false]",
+        "++algorithm.backbone.emb_channels=32",
+        "++algorithm.diffusion.sampling_timesteps=2",
+    ])
+    algo = build_algorithm(cfg, compute_dtype=jnp.float32)
+    raw = _random_valid_poses(1, 4)
+    conds = algo.process_conditions(raw)
+    assert conds.shape == (1, 4, 16)
+    ct = algo._cond_transform()
+    assert ct is not None
+    maps = ct(jnp.asarray(conds))
+    assert maps.shape == (1, 4, 16, 16, 180)
+    # end-to-end: one sampled window through the compact-cond path
+    out = algo.sample_videos(
+        algo.init_params(jax.random.PRNGKey(0))["params"],
+        jax.random.PRNGKey(1),
+        jnp.zeros((1, 4, 16, 16, 3)),
+        conditions=raw,
+        n_context_tokens=1,
+        tasks=("prediction",),
+    )
+    assert out["prediction"].shape == (1, 4, 16, 16, 3)
+    assert np.isfinite(np.asarray(out["prediction"])).all()
