@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def parse_xplane(trace_dir: str, min_us: float = 5.0):
     """Aggregate TPU op durations (us) by HLO op name from an xplane dump."""
     os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     files = sorted(
         glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
@@ -44,8 +44,9 @@ def parse_xplane(trace_dir: str, min_us: float = 5.0):
         stat_md = {k: v.name for k, v in plane.stat_metadata.items()}
         for line in plane.lines:
             lname = line.name.lower()
-            # XLA op lines carry per-op HLO events
-            if "xla op" not in lname and "xla ops" not in lname:
+            # ONLY the synchronous 'XLA Ops' line: 'Async XLA Ops' events
+            # (DMA prefetches) overlap compute and would double-count
+            if lname != "xla ops":
                 continue
             for ev in line.events:
                 md = plane.event_metadata[ev.metadata_id]
