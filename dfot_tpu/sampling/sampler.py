@@ -274,6 +274,15 @@ def make_window_sampler(
             # ever handles the compact vectors (utils/geometry.py:
             # normalize_camera_conditions)
             conditions = cond_transform(conditions)
+        # NFE-expand the conditions and clean context outside the scan:
+        # they are step-invariant, and for map-shaped conditions (ray
+        # encodings: ~190 MB at 256px) a repeat inside the body would rely
+        # on XLA loop-invariant code motion to avoid a fresh materialization
+        # per step
+        cond_e = None if conditions is None else jnp.repeat(conditions, nfe, axis=0)
+        ctx_e = (
+            jnp.repeat(context, nfe, axis=0) if reconstruction_guidance > 0 else None
+        )
 
         def step(carry, scan_in):
             xs, rng = carry
@@ -311,17 +320,12 @@ def make_window_sampler(
             x_e = shard_expanded(x_e)
             k_clip = jnp.clip(from_e, 0, None)
 
-            cond_e = None
-            if conditions is not None:
-                cond_e = jnp.repeat(conditions, nfe, axis=0)
-
             if reconstruction_guidance > 0:
                 # grads of the reconstruction loss wrt x flow through the
                 # denoiser (reference: discrete_diffusion.py:485-513)
                 alpha = dc.bcast_right(
                     jnp.take(sched.alphas_cumprod, k_clip, axis=0), x_e.ndim
                 )
-                ctx_e = jnp.repeat(context, nfe, axis=0)
                 ctxmask_e = jnp.repeat(cmask, nfe, axis=0)
 
                 def guidance_loss(x_in):
