@@ -296,13 +296,17 @@ def main():
     # to 180-channel ray-encoding maps happens ON DEVICE once per window
     # (utils/geometry.py:expand_pose_conditions_jax) — the host never
     # copies or uploads the 24 MB/frame maps
+    from dfot_tpu.models.uvit import precompute_pose_conditioning
     from dfot_tpu.utils.geometry import expand_pose_conditions_jax
 
     cond_dtype = jnp.float32 if args.tiny else jnp.bfloat16
     ctype = "ray_encoding" if pose_dim == 180 else "ray"
 
-    def cond_transform(c):
-        return expand_pose_conditions_jax(c, ctype, res).astype(cond_dtype)
+    def cond_transform(c, v):
+        maps = expand_pose_conditions_jax(c, ctype, res).astype(cond_dtype)
+        # step-invariant pose FiLM projections, once per window (the raw
+        # in-model path recomputes ~25 ms/step of this at B=2 on v5e)
+        return precompute_pose_conditioning(model, v, maps)
 
     ro = DFoTRollout(
         RolloutConfig(

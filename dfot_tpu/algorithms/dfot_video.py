@@ -88,7 +88,7 @@ class DFoTVideoAlgo:
             keyframe_density=pred.get("keyframe_density"),
             interpolation_max_batch_size=interp.get("max_batch_size"),
             scan_bucket=cfg.get("scan_bucket", 0) or 0,
-            cond_transform=self._cond_transform(),
+            cond_transform=self._sampling_cond_transform(),
             refinement=(
                 dict(cfg.refinement_sampling.to_dict())
                 if cfg.refinement_sampling.enabled
@@ -316,6 +316,12 @@ class DFoTVideoAlgo:
         camera vectors -> per-pixel ray maps, traced inside jit)."""
         return None
 
+    def _sampling_cond_transform(self):
+        """Condition transform for the sampling path; subclasses may extend
+        the training-time expansion with weight-dependent precomputation
+        (the extended form takes (conditions, variables))."""
+        return self._cond_transform()
+
     # ------------------------------------------------------------------
     # conditions
     # ------------------------------------------------------------------
@@ -533,6 +539,23 @@ class DFoTVideoPoseAlgo(DFoTVideoAlgo):
             return expand_pose_conditions_jax(cond, ctype, res).astype(dtype)
 
         return expand
+
+    def _sampling_cond_transform(self):
+        expand = self._cond_transform()
+        if expand is None:
+            return None
+        from ..models.uvit import UViT3DPose, precompute_pose_conditioning
+
+        if not isinstance(self.model, UViT3DPose):
+            return expand
+
+        def expand_precompute(cond, variables):
+            # ray maps -> per-block FiLM pose projections, once per window
+            # (step-invariant; ~25 ms/step of the flagship forward if left
+            # inside the scan — models/uvit.py:precompute_pose_conditioning)
+            return precompute_pose_conditioning(self.model, variables, expand(cond))
+
+        return expand_precompute
 
     def _dummy_condition(self, B, T):
         res = self.cfg.x_shape[1] if not self.is_latent else self.x_shape[0]

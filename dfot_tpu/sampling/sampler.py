@@ -33,6 +33,17 @@ from .scheduling import generate_scheduling_matrix, generate_refine_scheduling_m
 __all__ = ["SamplingPlan", "plan_sampling", "make_window_sampler"]
 
 
+@functools.lru_cache(maxsize=None)
+def _takes_variables(fn) -> bool:
+    """True if a cond_transform accepts a second (variables) argument."""
+    import inspect
+
+    try:
+        return len(inspect.signature(fn).parameters) >= 2
+    except (TypeError, ValueError):
+        return False
+
+
 class SamplingPlan(NamedTuple):
     """Host-precomputed per-step tables for one sampling window.
 
@@ -267,19 +278,28 @@ def make_window_sampler(
     ) -> jax.Array:
         B, T = x_init.shape[:2]
         nfe = num_hist * num_gen
-        if conditions is not None and cond_transform is not None:
-            # e.g. camera-pose -> per-pixel ray maps: expanded ONCE per
-            # window here (inside jit, outside the scan) so the big map is
-            # a device-resident scan invariant and the host/rollout only
-            # ever handles the compact vectors (utils/geometry.py:
-            # normalize_camera_conditions)
-            conditions = cond_transform(conditions)
         # NFE-expand the conditions and clean context outside the scan:
         # they are step-invariant, and for map-shaped conditions (ray
         # encodings: ~190 MB at 256px) a repeat inside the body would rely
         # on XLA loop-invariant code motion to avoid a fresh materialization
-        # per step
+        # per step. The repeat happens on the COMPACT form, before the
+        # optional expansion below, so the big maps never exist in both
+        # un-expanded and expanded batch shapes at once.
         cond_e = None if conditions is None else jnp.repeat(conditions, nfe, axis=0)
+        if cond_e is not None and cond_transform is not None:
+            # e.g. camera-pose -> per-pixel ray maps (and, for U-ViT pose
+            # models, the per-block FiLM pose projections): expanded ONCE
+            # per window here (inside jit, outside the scan) so the result
+            # is a device-resident scan invariant and the host/rollout only
+            # ever handles the compact vectors (utils/geometry.py:
+            # normalize_camera_conditions). Transforms may take (conditions)
+            # or (conditions, variables) — the latter for weight-dependent
+            # precomputation (models/uvit.py:precompute_pose_conditioning).
+            cond_e = (
+                cond_transform(cond_e, variables)
+                if _takes_variables(cond_transform)
+                else cond_transform(cond_e)
+            )
         ctx_e = (
             jnp.repeat(context, nfe, axis=0) if reconstruction_guidance > 0 else None
         )
