@@ -145,7 +145,7 @@ def bench_forward(model, variables, res, T, pose_dim):
 
 
 def bench_train(model_spec_args, variables, res, T, pose_dim, dcfg, sched,
-                flops_per_fwd):
+                flops_per_fwd, batch: int = 1, remat: bool = True):
     """One jitted train step on the flagship (B=1, remat, AdamW + EMA).
 
     BASELINE configs 4-5 are training recipes with no published steps/sec;
@@ -162,7 +162,7 @@ def bench_train(model_spec_args, variables, res, T, pose_dim, dcfg, sched,
     from dfot_tpu.training.state import create_train_state
 
     tiny = model_spec_args["tiny"]
-    model, _, _, _, _ = build_flagship(tiny, remat=True)
+    model, _, _, _, _ = build_flagship(tiny, remat=remat)
 
     # f32 master params (values irrelevant for throughput): re-materialize
     # from the bf16 inference weights rather than holding a second init
@@ -190,7 +190,7 @@ def bench_train(model_spec_args, variables, res, T, pose_dim, dcfg, sched,
         model_apply, dcfg, sched, nl_cfg, compute_dtype=jnp.bfloat16
     )
 
-    B = 1
+    B = batch
     batch = {
         "xs": jnp.zeros((B, T, res, res, 3), jnp.bfloat16),
         "conditions": jnp.zeros((B, T, res, res, pose_dim), jnp.bfloat16),
@@ -242,6 +242,10 @@ def main():
                     help="timed repeats of the 8-frame window bench")
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--skip-rollout", action="store_true")
+    ap.add_argument("--train-batch", type=int, default=1)
+    ap.add_argument("--no-train-remat", action="store_true",
+                    help="store transformer activations instead of remat "
+                    "(fits HBM at small per-chip batch; ~25%% fewer FLOPs)")
     ap.add_argument("--interp-batch", type=int, default=1,
                     help="interpolation max_batch_size (the flagship forward "
                     "anti-scales with batch at 256px on one v5e; 1 is fastest)")
@@ -350,11 +354,39 @@ def main():
         **fwd_extras,
     }
     emit(window8_line)
+
+    # ---- workload 1b: two-image 8-frame interpolation (BASELINE.md row 3:
+    # reference README.md:77-79, "<1 min on 1 GPU" => baseline 0.1 fps).
+    # Same (B=1, T, S, H, G) signature as the quick-start window — vanilla
+    # HG with full_sequence scheduling compiles nothing new.
+    mask8i = np.zeros((1, T), dtype=np.int64)
+    mask8i[:, 0] = mask8i[:, -1] = 1
+
+    def run8i(seed):
+        out = ro.sample_sequence(
+            variables, rngk(seed), 1, length=T, context=ctx8,
+            context_mask=mask8i, conditions=conds8, history_guidance=hg8,
+        )
+        jax.block_until_ready(out)
+
+    run8i(0)  # warm (shared signature: no compile expected)
+    t0 = time.perf_counter()
+    run8i(1)
+    interp8_sec = time.perf_counter() - t0
+    fps8i = (T - 2) / interp8_sec
+    emit({
+        "metric": f"flagship_frames_per_sec_chip_{T}f_interpolation_{steps}ddim_nfe2",
+        "value": round(fps8i, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps8i / ((T - 2) / 60.0), 2),
+    })
+
     if args.window8 or args.tiny or args.skip_rollout:
         if not args.skip_train and not args.window8:
             train_line = bench_train(
                 {"tiny": args.tiny}, variables, res, T, pose_dim, dcfg, sched,
-                flops_per_fwd,
+                flops_per_fwd, batch=args.train_batch,
+                remat=not args.no_train_remat,
             )
             emit(train_line)
             emit({**window8_line,
@@ -421,7 +453,8 @@ def main():
     evals = ro.stats["denoiser_evals_b1"]
     rollout_mfu = evals * flops_per_fwd / rollout_sec / V5E_PEAK_FLOPS
     extras = {}
-    for k in ("keyframe_sec", "interp_sec", "keyframe_evals_b1"):
+    for k in ("keyframe_sec", "interp_sec", "keyframe_evals_b1",
+              "interp_host_build_sec", "interp_fetch_scatter_sec"):
         if k in ro.stats:
             v = ro.stats[k]
             extras[k] = round(v, 2) if isinstance(v, float) else v
@@ -445,7 +478,8 @@ def main():
         try:
             train_line = bench_train(
                 {"tiny": args.tiny}, variables, res, T, pose_dim, dcfg, sched,
-                flops_per_fwd,
+                flops_per_fwd, batch=args.train_batch,
+                remat=not args.no_train_remat,
             )
             emit(train_line)
             final_line = {

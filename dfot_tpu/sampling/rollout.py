@@ -295,8 +295,11 @@ class DFoTRollout:
         if conditions is not None:
             conditions = np.asarray(conditions)  # one fetch if device-resident
 
+        import time as _time
+
         for rnd in plan:
             # batch all chunks of this round together
+            _tb = _time.perf_counter()
             chunk_ctx, chunk_mask, chunk_cond = [], [], []
             for frames in rnd:
                 n = len(frames)
@@ -320,38 +323,90 @@ class DFoTRollout:
                             csel = np.concatenate([csel, cz], 1)
                         chunk_cond.append(csel)
 
-            all_ctx = np.concatenate(chunk_ctx, 0)
-            all_mask = np.concatenate(chunk_mask, 0)
-            all_cond = np.concatenate(chunk_cond, 0) if chunk_cond else None
-
-            # split into max_batch_size chunks to bound NFE-expanded memory;
-            # outputs stay on device until the whole round has dispatched
-            N = all_ctx.shape[0]
+            # split into max_batch_size dispatches to bound NFE-expanded
+            # memory. Dispatch directly from the per-chunk host arrays:
+            # a round-wide np.concatenate + re-slice would copy the whole
+            # round's contexts twice more — ~10 s/round of pure host memcpy
+            # on the single-core TPU host (~60 MB/s contended), serial with
+            # the device. Outputs stay on device until the whole round has
+            # dispatched (fetching group 0 then overlaps later groups).
+            self.stats["interp_host_build_sec"] = (
+                self.stats.get("interp_host_build_sec", 0.0)
+                + _time.perf_counter() - _tb
+            )
+            n_chunks = len(rnd)
+            N = n_chunks * B
             bs = max_bs or N
-            outs = []
-            for i0 in range(0, N, bs):
-                rng, r_c = jax.random.split(rng)
-                outs.append(
-                    self.sample_sequence(
-                        variables,
-                        r_c,
-                        min(bs, N - i0),
-                        length=cfg.max_tokens,
-                        context=all_ctx[i0 : i0 + bs],
-                        context_mask=all_mask[i0 : i0 + bs],
-                        conditions=all_cond[i0 : i0 + bs] if all_cond is not None else None,
-                        history_guidance=history_guidance,
+            if bs % B == 0:
+                cpg = bs // B  # whole chunks per dispatch group
+                groups = [
+                    (c0, min(cpg, n_chunks - c0))
+                    for c0 in range(0, n_chunks, cpg)
+                ]
+                cat = lambda parts: parts[0] if len(parts) == 1 else np.concatenate(parts, 0)
+                outs = []
+                for c0, nc in groups:
+                    rng, r_c = jax.random.split(rng)
+                    outs.append(
+                        self.sample_sequence(
+                            variables,
+                            r_c,
+                            nc * B,
+                            length=cfg.max_tokens,
+                            context=cat(chunk_ctx[c0 : c0 + nc]),
+                            context_mask=cat(chunk_mask[c0 : c0 + nc]),
+                            conditions=cat(chunk_cond[c0 : c0 + nc])
+                            if chunk_cond
+                            else None,
+                            history_guidance=history_guidance,
+                        )
                     )
+                    if self.progress is not None:
+                        # non-blocking heartbeat (dispatch-time, not completion)
+                        self.progress("window", {"windows": self.stats["windows"]})
+                _tf = _time.perf_counter()
+                for (c0, nc), o in zip(groups, outs):
+                    pred = np.asarray(o)
+                    for ci in range(c0, c0 + nc):
+                        frames = rnd[ci]
+                        po = (ci - c0) * B
+                        for j, f in enumerate(frames):
+                            xs[:, f] = pred[po : po + B, j]
+                        known[:, frames] = True
+                # includes the wait for the round's in-flight windows — the
+                # pure host share is the part past the last window's finish
+                self.stats["interp_fetch_scatter_sec"] = (
+                    self.stats.get("interp_fetch_scatter_sec", 0.0)
+                    + _time.perf_counter() - _tf
                 )
-                if self.progress is not None:
-                    # non-blocking heartbeat (dispatch-time, not completion)
-                    self.progress("window", {"windows": self.stats["windows"]})
-            out = np.concatenate([np.asarray(o) for o in outs], 0)
-            for ci, frames in enumerate(rnd):
-                pred = out[ci * B : (ci + 1) * B, : len(frames)]
-                for j, f in enumerate(frames):
-                    xs[:, f] = pred[:, j]
-                known[:, frames] = True
+            else:
+                # group size not a chunk multiple: fall back to row slicing
+                all_ctx = np.concatenate(chunk_ctx, 0)
+                all_mask = np.concatenate(chunk_mask, 0)
+                all_cond = np.concatenate(chunk_cond, 0) if chunk_cond else None
+                outs = []
+                for i0 in range(0, N, bs):
+                    rng, r_c = jax.random.split(rng)
+                    outs.append(
+                        self.sample_sequence(
+                            variables,
+                            r_c,
+                            min(bs, N - i0),
+                            length=cfg.max_tokens,
+                            context=all_ctx[i0 : i0 + bs],
+                            context_mask=all_mask[i0 : i0 + bs],
+                            conditions=all_cond[i0 : i0 + bs] if all_cond is not None else None,
+                            history_guidance=history_guidance,
+                        )
+                    )
+                    if self.progress is not None:
+                        self.progress("window", {"windows": self.stats["windows"]})
+                out = np.concatenate([np.asarray(o) for o in outs], 0)
+                for ci, frames in enumerate(rnd):
+                    pred = out[ci * B : (ci + 1) * B, : len(frames)]
+                    for j, f in enumerate(frames):
+                        xs[:, f] = pred[:, j]
+                    known[:, frames] = True
             if self.progress is not None:
                 self.progress(
                     "interp_round", {"frames_known": int(known[0].sum())}

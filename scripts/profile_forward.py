@@ -89,21 +89,72 @@ def main():
 
     model, variables, res, T, pose_dim = build_flagship(args.tiny)
     B = args.batch
-    fwd = jax.jit(lambda v, x, k, c: model.apply(v, x, k, c, None))
-    x = jnp.zeros((B, T, res, res, 3))
-    k = jnp.full((B, T), 500.0)
-    p = jnp.zeros((B, T, res, res, pose_dim))
-    out = fwd(variables, x, k, p)
-    float(jnp.mean(out))  # compile + settle
-
     trace_dir = args.out or tempfile.mkdtemp(prefix="dfot_prof_")
-    t0 = time.perf_counter()
-    with jax.profiler.trace(trace_dir):
-        xc = x
-        for _ in range(args.steps):
-            xc = fwd(variables, xc, k, p)
-        float(jnp.mean(xc))
-    wall = (time.perf_counter() - t0) / args.steps
+
+    if args.train:
+        import optax
+
+        from dfot_tpu.diffusion import DiffusionConfig, make_schedule
+        from dfot_tpu.training import make_train_step
+        from dfot_tpu.training.noise_levels import NoiseLevelConfig
+        from dfot_tpu.training.state import create_train_state
+
+        dcfg = DiffusionConfig(timesteps=1000, sampling_timesteps=50,
+                               objective="pred_v", clip_noise=20.0)
+        sched = make_schedule(dcfg)
+        tmodel, _, _, _, _ = build_flagship(args.tiny, remat=True)
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32)
+            if isinstance(a, jax.Array) and a.dtype == jnp.bfloat16
+            else a,
+            variables,
+        )
+
+        def model_apply(p_, x, k, cond, cond_mask, rngs=None, train=False):
+            return tmodel.apply(p_, x, k, cond, cond_mask, train, rngs=rngs)
+
+        nl_cfg = NoiseLevelConfig(
+            noise_level="random_independent", timesteps=dcfg.timesteps,
+            is_continuous=dcfg.is_continuous,
+        )
+        tx = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adamw(5e-5, b1=0.9, b2=0.999, weight_decay=1e-2),
+        )
+        state = create_train_state(params, tx, use_ema=True)
+        del params, variables
+        train_step = make_train_step(
+            model_apply, dcfg, sched, nl_cfg, compute_dtype=jnp.bfloat16
+        )
+        batch = {
+            "xs": jnp.zeros((B, T, res, res, 3), jnp.bfloat16),
+            "conditions": jnp.zeros((B, T, res, res, pose_dim), jnp.bfloat16),
+            "masks": jnp.ones((B, T), bool),
+        }
+        rngs = jax.random.split(jax.random.PRNGKey(0), args.steps + 1)
+        state, m = train_step(state, batch, rngs[0])
+        jax.block_until_ready(m["loss"])
+        t0 = time.perf_counter()
+        with jax.profiler.trace(trace_dir):
+            for i in range(args.steps):
+                state, m = train_step(state, batch, rngs[i + 1])
+            float(m["loss"])
+        wall = (time.perf_counter() - t0) / args.steps
+    else:
+        fwd = jax.jit(lambda v, x, k, c: model.apply(v, x, k, c, None))
+        x = jnp.zeros((B, T, res, res, 3))
+        k = jnp.full((B, T), 500.0)
+        p = jnp.zeros((B, T, res, res, pose_dim))
+        out = fwd(variables, x, k, p)
+        float(jnp.mean(out))  # compile + settle
+
+        t0 = time.perf_counter()
+        with jax.profiler.trace(trace_dir):
+            xc = x
+            for _ in range(args.steps):
+                xc = fwd(variables, xc, k, p)
+            float(jnp.mean(xc))
+        wall = (time.perf_counter() - t0) / args.steps
 
     per_op, per_cat, total = parse_xplane(trace_dir)
     n = args.steps

@@ -130,6 +130,30 @@ def test_interpolate_videos():
     np.testing.assert_allclose(vals, np.arange(7) / 10.0, atol=2e-3)
 
 
+@pytest.mark.parametrize("B,max_bs", [(1, 2), (2, 3)])
+def test_interpolate_videos_max_batch_size(B, max_bs):
+    """interpolation_max_batch_size splits a round's chunks into several
+    dispatches. max_bs % B == 0 takes the grouped whole-chunk path; a
+    non-multiple falls back to row slicing — both must converge to the
+    oracle target (reference: dfot_video.py max_batch_size chunking)."""
+    ro = _rollout(
+        external_cond_type="action", interpolation_max_batch_size=max_bs
+    )
+    T = 13  # round 0: 3 chunks of the 4-token window -> multiple dispatches
+    xs = jnp.zeros((B, T) + X_SHAPE)
+    xs = xs.at[:, 0].set(0.0).at[:, 12].set(1.2)
+    mask = np.zeros((B, T), dtype=bool)
+    mask[:, [0, 12]] = True
+    conds = jnp.broadcast_to(
+        (jnp.arange(T, dtype=jnp.float32) / 10.0).reshape(1, T, 1), (B, T, 1)
+    )
+    out = ro.interpolate_videos({}, jax.random.PRNGKey(0), xs, mask, conditions=conds)
+    vals = _frame_values(out)
+    np.testing.assert_allclose(
+        vals, np.broadcast_to(np.arange(T) / 10.0, (B, T)), atol=2e-3
+    )
+
+
 def test_predict_videos_keyframes_plus_interpolation():
     ro = _rollout(
         keyframe_density=0.5, sliding_context_len=2, external_cond_type="action"
