@@ -17,12 +17,19 @@ hook system (reference: dit_blocks.py:21-44). Here:
   the attention-statistics capture system (parity with the reference's
   attn-map hooks).
 
-Layout notes (v5e): per-row statistics (lse, delta) are carried as (N, 1)
-column vectors — keepdims reductions keep them in the sublane dimension with
-no relayout casts, and (block, 1) tiles stay tiny in VMEM. dk/dv are
-computed as a grid reduction over query blocks with a revisited full-length
-output block (matmul-reduction pattern), so no kernel ever holds a
-full-length padded statistics buffer.
+Layout notes (v5e): in the forward and dq kernels the per-row statistics
+(lse, delta) are carried as (N, 1) column vectors — keepdims reductions keep
+them in the sublane dimension with no relayout casts, and (block, 1) tiles
+stay tiny in VMEM. The dkv kernel works in the TRANSPOSED orientation
+(scores as (block_k, block_q): k along sublanes, q along lanes) so that the
+q-block statistics enter as (1, block_q) ROW vectors: they broadcast along
+sublanes natively and are DMA'd from HBM as 1 KB rows. The previous design
+lane-broadcast lse/delta to the k-block width, which made the kernel
+HBM-bound on statistics traffic (256 KB of the 384 KB streamed per q-block
+was broadcast copies of two scalars-per-row). All dots take the inputs in
+their native dtype (bf16 in production) with fp32 accumulation via
+preferred_element_type — pre-casting operands to fp32 forces half-rate fp32
+MXU passes.
 """
 
 from __future__ import annotations
@@ -173,9 +180,14 @@ def _flash_bwd_dq_kernel(
     *, block_k: int, seq_len: int, causal: bool, sm_scale: float,
 ):
     """One (batch*head, q-block): dq = sum_k ds @ k with
-    ds = p * (dO v^T - delta) * sm_scale, p = exp(q k^T * scale - lse)."""
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    ds = p * (dO v^T - delta) * sm_scale, p = exp(q k^T * scale - lse).
+
+    Dots take q/k/v/dO in their NATIVE dtype (bf16 in production) with fp32
+    accumulation — pre-casting to f32 halves MXU throughput. ds is computed
+    in f32 and cast back to the input dtype for the final accumulation dot.
+    """
+    q = q_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0]      # (blk_q, 1)
     delta = delta_ref[0]  # (blk_q, 1)
     blk_q, d = q.shape
@@ -183,8 +195,8 @@ def _flash_bwd_dq_kernel(
     q_start = pl.program_id(1) * blk_q
 
     def body(i, dq):
-        kb = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        vb = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        kb = k_ref[0, pl.ds(i * block_k, block_k), :]
+        vb = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale
@@ -196,7 +208,7 @@ def _flash_bwd_dq_kernel(
         dp = jax.lax.dot_general(
             do, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - delta) * sm_scale
+        ds = (p * (dp - delta) * sm_scale).astype(q.dtype)
         return dq + jax.lax.dot_general(
             ds, kb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -212,9 +224,10 @@ def _flash_bwd_dq_stream_kernel(
     """Streaming variant of the dq kernel for sequences whose full k/v no
     longer fit in VMEM (>~12k tokens bf16): k/v stay in HBM (128-lane padded)
     and are DMA'd per k-block into double-buffered scratch, exactly like the
-    dkv kernel streams q."""
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    dkv kernel streams q. Dots run in the native input dtype (see
+    _flash_bwd_dq_kernel)."""
+    q = q_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0]      # (blk_q, 1)
     delta = delta_ref[0]  # (blk_q, 1)
     blk_q, d = q.shape    # d = 128-lane padded head dim
@@ -244,8 +257,8 @@ def _flash_bwd_dq_stream_kernel(
             for c in get_copies(slot, i):
                 c.wait()
 
-            kb = k_buf[slot].astype(jnp.float32)
-            vb = v_buf[slot].astype(jnp.float32)
+            kb = k_buf[slot]
+            vb = v_buf[slot]
             s = jax.lax.dot_general(
                 q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) * sm_scale
@@ -261,7 +274,7 @@ def _flash_bwd_dq_stream_kernel(
             dp = jax.lax.dot_general(
                 do, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
-            ds = p * (dp - delta) * sm_scale
+            ds = (p * (dp - delta) * sm_scale).astype(q.dtype)
             return dq + jax.lax.dot_general(
                 ds, kb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )
@@ -284,13 +297,21 @@ def _flash_bwd_dkv_kernel(
 ):
     """One (batch*head, k-block): dv = sum_q p^T dO, dk = sum_q ds^T q.
 
+    Works in the TRANSPOSED orientation — scores as (blk_k, block_q), k along
+    sublanes and q along lanes — so the q-block statistics enter as
+    (1, block_q) ROW vectors that broadcast along sublanes natively and DMA
+    from HBM as 1 KB rows (the untransposed layout needed them lane-broadcast
+    to the k-block width: 256 KB of redundant HBM traffic per q-block). All
+    four dots are natural MXU orientations (no dim-0 contractions) and take
+    their operands in the native input dtype with fp32 accumulation.
+
     q/dO/lse/delta stay in HBM and are DMA'd per q-block into double-buffered
     scratch — full-length VMEM inputs (padded to 128 lanes) would blow the
     scoped budget at video sequence lengths.
     """
-    kb = k_ref[0].astype(jnp.float32)
-    vb = v_ref[0].astype(jnp.float32)
-    blk_k, d = kb.shape  # d is the 128-lane padded head dim
+    kb = k_ref[0]  # (blk_k, d), native dtype; d is the 128-lane padded head dim
+    vb = v_ref[0]
+    blk_k, d = kb.shape
     num_qb = seq_len // block_q
     k_start = pl.program_id(1) * blk_k
     bh = pl.program_id(0)
@@ -301,8 +322,8 @@ def _flash_bwd_dkv_kernel(
             return (
                 pltpu.make_async_copy(q_hbm.at[bh, src, :], q_buf.at[slot], sems.at[slot, 0]),
                 pltpu.make_async_copy(do_hbm.at[bh, src, :], do_buf.at[slot], sems.at[slot, 1]),
-                pltpu.make_async_copy(lse_hbm.at[bh, src, :], lse_buf.at[slot], sems.at[slot, 2]),
-                pltpu.make_async_copy(delta_hbm.at[bh, src, :], delta_buf.at[slot], sems.at[slot, 3]),
+                pltpu.make_async_copy(lse_hbm.at[bh, :, src], lse_buf.at[slot], sems.at[slot, 2]),
+                pltpu.make_async_copy(delta_hbm.at[bh, :, src], delta_buf.at[slot], sems.at[slot, 3]),
             )
 
         for c in get_copies(0, 0):
@@ -320,33 +341,32 @@ def _flash_bwd_dkv_kernel(
             for c in get_copies(slot, i):
                 c.wait()
 
-            q = q_buf[slot].astype(jnp.float32)
-            do = do_buf[slot].astype(jnp.float32)
-            # lse/delta are lane-broadcast to exactly blk_k lanes, so every
-            # elementwise op below is on aligned (block_q, blk_k) tiles
-            lse = lse_buf[slot]
+            q = q_buf[slot]        # (block_q, d) native dtype
+            do = do_buf[slot]
+            lse = lse_buf[slot]    # (1, block_q) — broadcasts over sublanes
             delta = delta_buf[slot]
-            s = jax.lax.dot_general(
-                q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * sm_scale
+            s_t = jax.lax.dot_general(
+                kb, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * sm_scale           # (blk_k, block_q)
             if causal:
-                q_pos = i * block_q + jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, blk_k), 0
-                )
                 k_pos = k_start + jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, blk_k), 1
+                    jnp.int32, (blk_k, block_q), 0
                 )
-                s = jnp.where(q_pos >= k_pos, s, _NEG_INF)
-            p = jnp.exp(s - lse)
+                q_pos = i * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, (blk_k, block_q), 1
+                )
+                s_t = jnp.where(q_pos >= k_pos, s_t, _NEG_INF)
+            p_t = jnp.exp(s_t - lse)
             dv = dv + jax.lax.dot_general(
-                p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                p_t.astype(q_dtype), do, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-            dp = jax.lax.dot_general(
-                do, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            ds = p * (dp - delta) * sm_scale
+            dp_t = jax.lax.dot_general(
+                vb, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )                      # (blk_k, block_q)
+            ds_t = (p_t * (dp_t - delta) * sm_scale).astype(q_dtype)
             dk = dk + jax.lax.dot_general(
-                ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                ds_t, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )
             return dk, dv
 
@@ -360,8 +380,8 @@ def _flash_bwd_dkv_kernel(
         scoped,
         q_buf=pltpu.VMEM((2, block_q, d), q_dtype),
         do_buf=pltpu.VMEM((2, block_q, d), q_dtype),
-        lse_buf=pltpu.VMEM((2, block_q, blk_k), jnp.float32),
-        delta_buf=pltpu.VMEM((2, block_q, blk_k), jnp.float32),
+        lse_buf=pltpu.VMEM((2, 1, block_q), jnp.float32),
+        delta_buf=pltpu.VMEM((2, 1, block_q), jnp.float32),
         sems=pltpu.SemaphoreType.DMA((2, 4)),
     )
 
@@ -436,15 +456,16 @@ def _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k, interpret):
 
     # dk/dv: q/dO/lse/delta stay in HBM and are DMA'd per q-block, so every
     # HBM slice must be 128-lane aligned — pad the head dim to 128 (zero
-    # lanes are inert through all the dots) and lane-broadcast lse/delta to
-    # the k-block width so the elementwise tiles align exactly.
+    # lanes are inert through all the dots). The kernel runs transposed, so
+    # lse/delta are passed as (b*h, 1, n) rows: the (n, 1) -> (1, n) reshape
+    # is order-preserving and the per-q-block DMA slice is a slim f32 row.
     dkv_block_k = 128
     d_pad = -d % 128
     qp, kp, vp, dop = (
         jnp.pad(a, ((0, 0), (0, 0), (0, d_pad))) for a in (qf, kf, vf, dof)
     )
-    lse_b = jnp.broadcast_to(lsef, (b * h, n, dkv_block_k))
-    delta_b = jnp.broadcast_to(delta, (b * h, n, dkv_block_k))
+    lse_t = lsef.reshape(b * h, 1, n)
+    delta_t = delta.reshape(b * h, 1, n)
 
     dk, dv = pl.pallas_call(
         functools.partial(
@@ -452,8 +473,8 @@ def _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k, interpret):
             sm_scale=sm_scale, q_dtype=q.dtype,
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b * h, n, d + d_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b * h, n, d + d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, n, d + d_pad), k.dtype),
+            jax.ShapeDtypeStruct((b * h, n, d + d_pad), v.dtype),
         ),
         grid=(b * h, n // dkv_block_k),
         in_specs=[
@@ -461,21 +482,21 @@ def _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k, interpret):
             pl.BlockSpec((1, dkv_block_k, d + d_pad), qblk, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, dkv_block_k, d + d_pad), qblk, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # dO stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # lse
-            pl.BlockSpec(memory_space=pltpu.ANY),  # delta
+            pl.BlockSpec(memory_space=pltpu.ANY),  # lse (1, n) rows
+            pl.BlockSpec(memory_space=pltpu.ANY),  # delta (1, n) rows
         ],
         out_specs=(
             pl.BlockSpec((1, dkv_block_k, d + d_pad), qblk, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, dkv_block_k, d + d_pad), qblk, memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(qp, kp, vp, dop, lse_b, delta_b)
+    )(qp, kp, vp, dop, lse_t, delta_t)
 
     shape = (b, h, n, d)
     return (
         dq.reshape(shape),
-        dk[..., :d].astype(k.dtype).reshape(shape),
-        dv[..., :d].astype(v.dtype).reshape(shape),
+        dk[..., :d].reshape(shape),
+        dv[..., :d].reshape(shape),
     )
 
 
