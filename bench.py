@@ -55,11 +55,14 @@ def _flops_of(compiled) -> float:
     return 0.0
 
 
-def build_flagship(tiny: bool, remat: bool = False):
+def build_flagship(tiny: bool, remat=False):
     """The DFoT_RE10K model (or a tiny CPU stand-in with the same code path).
 
-    Returns (model, bf16_variables, res, T, pose_dim). With ``remat`` the
-    transformer levels use jax.checkpoint (training memory profile).
+    Returns (model, bf16_variables, res, T, pose_dim). ``remat`` selects the
+    jax.checkpoint pattern (training memory profile): True/False for all
+    transformer levels, or an explicit per-level tuple. The reference recipe
+    remats only the mid level (realestate10k_video_generation.yaml:44
+    ``use_checkpointing: [false, false, false, true]``).
     """
     import jax
     import jax.numpy as jnp
@@ -72,7 +75,10 @@ def build_flagship(tiny: bool, remat: bool = False):
             block_types=("ResBlock", "TransformerBlock"),
             block_dropouts=(0.0, 0.0), num_updown_blocks=(1,),
             num_mid_blocks=1, num_heads=2, pos_emb_type="rope",
-            use_checkpointing=(remat, remat), max_temporal_length=4,
+            use_checkpointing=tuple(remat)[:2]
+            if isinstance(remat, (tuple, list))
+            else (remat, remat),
+            max_temporal_length=4,
         )
         res, T, pose_dim = 16, 4, 6
     else:
@@ -84,7 +90,10 @@ def build_flagship(tiny: bool, remat: bool = False):
             ),
             block_dropouts=(0.0, 0.0, 0.1, 0.1), num_updown_blocks=(3, 3, 6),
             num_mid_blocks=20, num_heads=9, pos_emb_type="rope",
-            use_checkpointing=(remat,) * 4, max_temporal_length=8,
+            use_checkpointing=tuple(remat)
+            if isinstance(remat, (tuple, list))
+            else (remat,) * 4,
+            max_temporal_length=8,
         )
         res, T, pose_dim = 256, 8, 180  # ray_encoding conditioning
 
@@ -145,7 +154,7 @@ def bench_forward(model, variables, res, T, pose_dim):
 
 
 def bench_train(model_spec_args, variables, res, T, pose_dim, dcfg, sched,
-                flops_per_fwd, batch: int = 1, remat: bool = True):
+                flops_per_fwd, batch: int = 1, remat=True):
     """One jitted train step on the flagship (B=1, remat, AdamW + EMA).
 
     BASELINE configs 4-5 are training recipes with no published steps/sec;
@@ -220,6 +229,7 @@ def bench_train(model_spec_args, variables, res, T, pose_dim, dcfg, sched,
         "train_step_ms": round(step_sec * 1e3, 1),
         "train_mfu": round(mfu, 4),
         "train_tokens_per_sec": round(B * T / step_sec, 2),
+        "remat": list(remat) if isinstance(remat, (tuple, list)) else remat,
         "baseline_note": "A100 torch @35% MFU roofline (no published ref steps/sec)",
     }
 
@@ -243,9 +253,14 @@ def main():
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--skip-rollout", action="store_true")
     ap.add_argument("--train-batch", type=int, default=1)
-    ap.add_argument("--no-train-remat", action="store_true",
-                    help="store transformer activations instead of remat "
-                    "(fits HBM at small per-chip batch; ~25%% fewer FLOPs)")
+    ap.add_argument("--train-remat", choices=("all", "mid", "none"),
+                    default="mid",
+                    help="jax.checkpoint pattern for the train step: 'all' "
+                    "levels, 'mid' = only the 1152-ch mid level (the "
+                    "reference recipe, realestate10k_video_generation.yaml "
+                    "use_checkpointing: [false,false,false,true]), or "
+                    "'none' (store everything; ~25%% fewer FLOPs but "
+                    "largest HBM footprint)")
     ap.add_argument("--interp-batch", type=int, default=1,
                     help="interpolation max_batch_size (the flagship forward "
                     "anti-scales with batch at 256px on one v5e; 1 is fastest)")
@@ -381,12 +396,18 @@ def main():
         "vs_baseline": round(fps8i / ((T - 2) / 60.0), 2),
     })
 
+    n_levels = 2 if args.tiny else 4
+    train_remat = {
+        "all": True,
+        "none": False,
+        "mid": (False,) * (n_levels - 1) + (True,),
+    }[args.train_remat]
+
     if args.window8 or args.tiny or args.skip_rollout:
         if not args.skip_train and not args.window8:
             train_line = bench_train(
                 {"tiny": args.tiny}, variables, res, T, pose_dim, dcfg, sched,
-                flops_per_fwd, batch=args.train_batch,
-                remat=not args.no_train_remat,
+                flops_per_fwd, batch=args.train_batch, remat=train_remat,
             )
             emit(train_line)
             emit({**window8_line,
@@ -478,8 +499,7 @@ def main():
         try:
             train_line = bench_train(
                 {"tiny": args.tiny}, variables, res, T, pose_dim, dcfg, sched,
-                flops_per_fwd, batch=args.train_batch,
-                remat=not args.no_train_remat,
+                flops_per_fwd, batch=args.train_batch, remat=train_remat,
             )
             emit(train_line)
             final_line = {

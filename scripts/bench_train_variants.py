@@ -1,0 +1,50 @@
+"""Time flagship train-step remat variants on the TPU (one-off tuning aid).
+
+Runs bench.bench_train for each requested remat pattern on the full 467M
+flagship, sharing one forward compile for the FLOPs accounting. Usage:
+
+    python scripts/bench_train_variants.py mid none all
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("DFOT_COMPILE_CACHE", os.path.expanduser("~/.cache/dfot_jax")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import bench
+from dfot_tpu.diffusion import DiffusionConfig, make_schedule
+
+
+def main():
+    variants = sys.argv[1:] or ["mid"]
+    model, variables, res, T, pose_dim = bench.build_flagship(tiny=False)
+    dcfg = DiffusionConfig(timesteps=1000, sampling_timesteps=50,
+                           objective="pred_v", clip_noise=20.0)
+    sched = make_schedule(dcfg)
+    flops_per_fwd, fwd_sec = bench.bench_forward(
+        model, variables, res, T, pose_dim
+    )
+    print(f"# forward {fwd_sec*1e3:.1f} ms, {flops_per_fwd:.3e} FLOPs",
+          flush=True)
+    patterns = {"all": True, "none": False, "mid": (False, False, False, True)}
+    for name in variants:
+        try:
+            line = bench.bench_train(
+                {"tiny": False}, variables, res, T, pose_dim, dcfg, sched,
+                flops_per_fwd, batch=1, remat=patterns[name],
+            )
+            bench.emit({"variant": name, **line})
+        except Exception as e:  # noqa: BLE001 — keep timing the rest
+            bench.emit({"variant": name, "error": repr(e)[:300]})
+
+
+if __name__ == "__main__":
+    main()
