@@ -24,8 +24,11 @@ so both first-line and last-line parsers capture a flagship number.
 
 FLOPs accounting: XLA cost analysis of ONE jitted denoiser forward (B=1)
 times the exact number of B=1-equivalent denoiser evals the rollout issues
-(DFoTRollout.stats). MFU = achieved FLOP/s over the 197 TFLOP/s bf16 peak
-of one TPU v5e chip.
+(DFoTRollout.stats). The rollout credits each eval with the FLOPs of the
+forward that consumes PRECOMPUTED pose conditioning (what the scan body
+actually executes — the pose patch-embed/FiLM projections are hoisted out
+of the scan), not the raw standalone forward. MFU = achieved FLOP/s over
+the 197 TFLOP/s bf16 peak of one TPU v5e chip.
 
 Flags: --tiny (CPU smoke), --window8 (8-frame bench only), --frames N,
 --interp-batch N, --skip-train, --skip-rollout.
@@ -416,6 +419,29 @@ def main():
         return
 
     # ---- workload 2: the 200-frame north-star rollout (run ONCE) --------
+    # Honest MFU accounting for the rollout: the in-scan eval consumes
+    # PRECOMPUTED pose conditioning (the patch-embed + per-block FiLM pose
+    # projections are hoisted out of the scan, once per window), so it
+    # executes fewer FLOPs than the raw standalone forward. Lower the
+    # precomputed-cond forward once (AOT, no execution; persistent-cache
+    # warm) and credit each eval with THOSE FLOPs — a floor, since the
+    # scan step also runs HG compose + the DDIM update.
+    flops_per_eval = flops_per_fwd
+    try:
+        pc_probe = jax.jit(cond_transform)(
+            jnp.asarray(_identity_poses(1, T)), variables
+        )
+        fwd_pre = jax.jit(lambda v, x, k, c: model.apply(v, x, k, c, None))
+        flops_per_eval = _flops_of(
+            fwd_pre.lower(
+                variables, jnp.zeros((1, T, res, res, 3)),
+                jnp.full((1, T), 500.0), pc_probe,
+            ).compile()
+        )
+        del pc_probe
+    except Exception:  # noqa: BLE001 — fall back to the raw-forward FLOPs
+        pass
+
     pred_hg = HistoryGuidance.stabilized_vanilla(
         guidance_scale=4.0, stabilization_level=0.02, timesteps=dcfg.timesteps
     )
@@ -472,7 +498,7 @@ def main():
 
     fps = gen_frames / rollout_sec
     evals = ro.stats["denoiser_evals_b1"]
-    rollout_mfu = evals * flops_per_fwd / rollout_sec / V5E_PEAK_FLOPS
+    rollout_mfu = evals * flops_per_eval / rollout_sec / V5E_PEAK_FLOPS
     extras = {}
     for k in ("keyframe_sec", "interp_sec", "keyframe_evals_b1",
               "interp_host_build_sec", "interp_fetch_scatter_sec"):
@@ -486,6 +512,7 @@ def main():
         "vs_baseline": round(fps / baseline_fps, 2),
         **fwd_extras,
         "denoiser_evals_b1": evals,
+        "flops_per_eval_scan": flops_per_eval,
         "rollout_mfu": round(rollout_mfu, 4),
         "rollout_sec": round(rollout_sec, 1),
         "window8_fps": window8_line["value"],

@@ -411,17 +411,19 @@ def re10k_augment(
         video = video[:, :, ::-1]
         if poses is not None:
             poses = mirror_poses(poses)
+    if back_and_forth_prob > 0 and rng.rand() < back_and_forth_prob:
+        # 0 1 2 ... 2k+1 -> 0 2 4 ... 2k 2k+1 ... 3 1: even frames forward,
+        # then odd frames reversed (reference realestate10k.py:291-297) —
+        # a same-length out-and-back walk through the camera trajectory
+        T = len(video)
+        idx = list(range(0, T, 2)) + list(range(T - 1 - (T % 2), 0, -2))
+        video = video[idx]
+        if poses is not None:
+            poses = poses[idx]
     if reverse_prob > 0 and rng.rand() < reverse_prob:
         video = video[::-1]
         if poses is not None:
             poses = poses[::-1]
-    if back_and_forth_prob > 0 and rng.rand() < back_and_forth_prob:
-        T = len(video)
-        idx = list(range(T)) + list(range(T - 2, -1, -1))
-        idx = idx[:T]
-        video = video[idx]
-        if poses is not None:
-            poses = poses[idx]
     return np.ascontiguousarray(video), (
         np.ascontiguousarray(poses) if poses is not None else None
     )

@@ -166,7 +166,14 @@ class VideoDataset:
         return True
 
     def _load_metadata(self) -> List[Dict[str, Any]]:
-        cache = os.path.join(self.save_dir, "metadata", f"{self.split}.npz")
+        # cache keys on the WALKED DIRECTORY's name, not the bare split:
+        # layouts whose _split_dir embeds the resolution (RE10K
+        # training_64/ vs training_256/) must not serve each other's file
+        # lists when dataset.resolution changes
+        cache = os.path.join(
+            self.save_dir, "metadata",
+            f"{os.path.basename(self._split_dir())}.npz",
+        )
         if os.path.exists(cache):
             data = np.load(cache, allow_pickle=True)
             metadata = [
@@ -306,10 +313,14 @@ class VideoDataset:
             aug_prob = self.cfg.get("augmentation_prob", 0.0) or 0.0
             rng = np.random.RandomState((idx * 2654435761 + 12345) % 2**31)
             _RE10K_KEYS = ("horizontal_flip_prob", "reverse_prob", "back_and_forth_prob")
+            # dispatch on which KEYS are present, not their values: an RE10K
+            # augmentation dict with all probs overridden to 0 must stay a
+            # no-op, not fall through to AugmentPipe(**aug) (whose kwargs
+            # differ, e.g. frame_skip_increase -> TypeError)
             if (
                 aug is not None
                 and video is not None
-                and any(aug.get(k) for k in _RE10K_KEYS)
+                and any(k in aug for k in _RE10K_KEYS)
             ):
                 from .augmentation import re10k_augment
 

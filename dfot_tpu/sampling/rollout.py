@@ -337,76 +337,61 @@ class DFoTRollout:
             n_chunks = len(rnd)
             N = n_chunks * B
             bs = max_bs or N
-            if bs % B == 0:
-                cpg = bs // B  # whole chunks per dispatch group
-                groups = [
-                    (c0, min(cpg, n_chunks - c0))
-                    for c0 in range(0, n_chunks, cpg)
+            # ONE generic dispatch path: the round's flat (chunk-major) batch
+            # of N rows is cut into [i0, i1) groups of <= bs rows; each group
+            # slices its rows straight from the per-chunk host arrays (no
+            # round-wide concatenation — that copies the whole round's
+            # contexts twice more, ~10 s/round of pure host memcpy on the
+            # single-core TPU host). When bs is a multiple of B the group
+            # boundaries land on whole chunks and nothing is ever split.
+            cat = lambda parts: parts[0] if len(parts) == 1 else np.concatenate(parts, 0)
+
+            def chunk_rows(i0, i1):
+                """(ci, r0, r1) spans covering flat rows [i0, i1)."""
+                return [
+                    (ci, max(0, i0 - ci * B), min(B, i1 - ci * B))
+                    for ci in range(i0 // B, -(-i1 // B))
                 ]
-                cat = lambda parts: parts[0] if len(parts) == 1 else np.concatenate(parts, 0)
-                outs = []
-                for c0, nc in groups:
-                    rng, r_c = jax.random.split(rng)
-                    outs.append(
-                        self.sample_sequence(
-                            variables,
-                            r_c,
-                            nc * B,
-                            length=cfg.max_tokens,
-                            context=cat(chunk_ctx[c0 : c0 + nc]),
-                            context_mask=cat(chunk_mask[c0 : c0 + nc]),
-                            conditions=cat(chunk_cond[c0 : c0 + nc])
-                            if chunk_cond
-                            else None,
-                            history_guidance=history_guidance,
-                        )
+
+            def row_parts(arrs, i0, i1):
+                return cat([arrs[ci][r0:r1] for ci, r0, r1 in chunk_rows(i0, i1)])
+
+            groups = [(i0, min(i0 + bs, N)) for i0 in range(0, N, bs)]
+            outs = []
+            for i0, i1 in groups:
+                rng, r_c = jax.random.split(rng)
+                outs.append(
+                    self.sample_sequence(
+                        variables,
+                        r_c,
+                        i1 - i0,
+                        length=cfg.max_tokens,
+                        context=row_parts(chunk_ctx, i0, i1),
+                        context_mask=row_parts(chunk_mask, i0, i1),
+                        conditions=row_parts(chunk_cond, i0, i1)
+                        if chunk_cond
+                        else None,
+                        history_guidance=history_guidance,
                     )
-                    if self.progress is not None:
-                        # non-blocking heartbeat (dispatch-time, not completion)
-                        self.progress("window", {"windows": self.stats["windows"]})
-                _tf = _time.perf_counter()
-                for (c0, nc), o in zip(groups, outs):
-                    pred = np.asarray(o)
-                    for ci in range(c0, c0 + nc):
-                        frames = rnd[ci]
-                        po = (ci - c0) * B
-                        for j, f in enumerate(frames):
-                            xs[:, f] = pred[po : po + B, j]
-                        known[:, frames] = True
-                # includes the wait for the round's in-flight windows — the
-                # pure host share is the part past the last window's finish
-                self.stats["interp_fetch_scatter_sec"] = (
-                    self.stats.get("interp_fetch_scatter_sec", 0.0)
-                    + _time.perf_counter() - _tf
                 )
-            else:
-                # group size not a chunk multiple: fall back to row slicing
-                all_ctx = np.concatenate(chunk_ctx, 0)
-                all_mask = np.concatenate(chunk_mask, 0)
-                all_cond = np.concatenate(chunk_cond, 0) if chunk_cond else None
-                outs = []
-                for i0 in range(0, N, bs):
-                    rng, r_c = jax.random.split(rng)
-                    outs.append(
-                        self.sample_sequence(
-                            variables,
-                            r_c,
-                            min(bs, N - i0),
-                            length=cfg.max_tokens,
-                            context=all_ctx[i0 : i0 + bs],
-                            context_mask=all_mask[i0 : i0 + bs],
-                            conditions=all_cond[i0 : i0 + bs] if all_cond is not None else None,
-                            history_guidance=history_guidance,
-                        )
-                    )
-                    if self.progress is not None:
-                        self.progress("window", {"windows": self.stats["windows"]})
-                out = np.concatenate([np.asarray(o) for o in outs], 0)
-                for ci, frames in enumerate(rnd):
-                    pred = out[ci * B : (ci + 1) * B, : len(frames)]
+                if self.progress is not None:
+                    # non-blocking heartbeat (dispatch-time, not completion)
+                    self.progress("window", {"windows": self.stats["windows"]})
+            _tf = _time.perf_counter()
+            for (i0, i1), o in zip(groups, outs):
+                pred = np.asarray(o)
+                for ci, r0, r1 in chunk_rows(i0, i1):
+                    frames = rnd[ci]
+                    po = ci * B + r0 - i0
                     for j, f in enumerate(frames):
-                        xs[:, f] = pred[:, j]
-                    known[:, frames] = True
+                        xs[r0:r1, f] = pred[po : po + (r1 - r0), j]
+                    known[r0:r1, frames] = True
+            # includes the wait for the round's in-flight windows — the
+            # pure host share is the part past the last window's finish
+            self.stats["interp_fetch_scatter_sec"] = (
+                self.stats.get("interp_fetch_scatter_sec", 0.0)
+                + _time.perf_counter() - _tf
+            )
             if self.progress is not None:
                 self.progress(
                     "interp_round", {"frames_known": int(known[0].sum())}

@@ -33,9 +33,13 @@ from .scheduling import generate_scheduling_matrix, generate_refine_scheduling_m
 __all__ = ["SamplingPlan", "plan_sampling", "make_window_sampler"]
 
 
-@functools.lru_cache(maxsize=None)
 def _takes_variables(fn) -> bool:
-    """True if a cond_transform accepts a second (variables) argument."""
+    """True if a cond_transform accepts a second (variables) argument.
+
+    Deliberately uncached: it runs once per TRACE (not per step), and an
+    lru_cache keyed on closure objects would pin every cond_transform —
+    and the model/variables each closes over — for the process lifetime.
+    """
     import inspect
 
     try:

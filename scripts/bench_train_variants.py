@@ -3,7 +3,7 @@
 Runs bench.bench_train for each requested remat pattern on the full 467M
 flagship, sharing one forward compile for the FLOPs accounting. Usage:
 
-    python scripts/bench_train_variants.py mid none all
+    python scripts/bench_train_variants.py mid none all mid:b2
 """
 
 import os
@@ -35,15 +35,19 @@ def main():
     print(f"# forward {fwd_sec*1e3:.1f} ms, {flops_per_fwd:.3e} FLOPs",
           flush=True)
     patterns = {"all": True, "none": False, "mid": (False, False, False, True)}
-    for name in variants:
+    for spec in variants:
         try:
+            name, _, bpart = spec.partition(":")
+            if bpart and not bpart.startswith("b"):
+                raise ValueError(f"bad spec {spec!r}: want NAME or NAME:bN")
+            batch = int(bpart[1:]) if bpart else 1
             line = bench.bench_train(
                 {"tiny": False}, variables, res, T, pose_dim, dcfg, sched,
-                flops_per_fwd, batch=1, remat=patterns[name],
+                flops_per_fwd, batch=batch, remat=patterns[name],
             )
-            bench.emit({"variant": name, **line})
+            bench.emit({"variant": spec, **line})
         except Exception as e:  # noqa: BLE001 — keep timing the rest
-            bench.emit({"variant": name, "error": repr(e)[:300]})
+            bench.emit({"variant": spec, "error": repr(e)[:300]})
 
 
 if __name__ == "__main__":

@@ -71,6 +71,11 @@ def main():
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--train", action="store_true",
                     help="profile a train step instead of the forward")
+    ap.add_argument("--train-remat", choices=("all", "mid", "none"),
+                    default="mid",
+                    help="jax.checkpoint pattern — keep in sync with "
+                    "bench.py --train-remat so the trace matches the "
+                    "benchmarked configuration")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -102,7 +107,13 @@ def main():
         dcfg = DiffusionConfig(timesteps=1000, sampling_timesteps=50,
                                objective="pred_v", clip_noise=20.0)
         sched = make_schedule(dcfg)
-        tmodel, _, _, _, _ = build_flagship(args.tiny, remat=True)
+        n_levels = 2 if args.tiny else 4
+        remat = {
+            "all": True,
+            "none": False,
+            "mid": (False,) * (n_levels - 1) + (True,),
+        }[args.train_remat]
+        tmodel, _, _, _, _ = build_flagship(args.tiny, remat=remat)
         params = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.float32)
             if isinstance(a, jax.Array) and a.dtype == jnp.bfloat16

@@ -96,6 +96,57 @@ def test_re10k_npz_layout(tmp_path):
     assert item["videos"].shape == (4, 16, 16, 3)
 
 
+def test_re10k_zero_prob_augmentation_is_noop(tmp_path):
+    """An RE10K augmentation dict with every prob overridden to 0 must stay
+    on the (no-op) re10k path — NOT fall through to AugmentPipe(**aug),
+    whose kwargs differ (frame_skip_increase -> TypeError)."""
+    import torch
+
+    d = tmp_path / "re10k"
+    (d / "training_16").mkdir(parents=True)
+    (d / "training_poses").mkdir()
+    rng = np.random.default_rng(1)
+    video = rng.integers(0, 255, (T_FIX, 3, 16, 16), dtype=np.uint8)
+    np.savez(d / "training_16" / "vidA.npz", video=video)
+    torch.save(
+        torch.from_numpy(rng.normal(size=(T_FIX, 18)).astype(np.float32)),
+        d / "training_poses" / "vidA.pt",
+    )
+    cfg = _cfg(
+        d, "realestate10k",
+        **{
+            "augmentation.horizontal_flip_prob": 0.0,
+            "augmentation.reverse_prob": 0.0,
+            "augmentation.back_and_forth_prob": 0.0,
+        },
+    )
+    ds = RealEstate10KDataset(cfg, "training")
+    _check(ds, cond_shape=(4, 16))
+
+
+def test_re10k_metadata_cache_keys_on_resolution(tmp_path):
+    """The metadata cache must key on the walked directory (training_16 vs
+    training_8), not the bare split — switching dataset.resolution must not
+    serve the other resolution's file list."""
+    d = tmp_path / "re10k"
+    for res in (16, 8):
+        (d / f"training_{res}").mkdir(parents=True)
+        (d / "training_poses").mkdir(exist_ok=True)
+        video = np.random.default_rng(res).integers(
+            0, 255, (T_FIX, 3, res, res), dtype=np.uint8
+        )
+        np.savez(d / f"training_{res}" / f"vid{res}.npz", video=video)
+    ds16 = RealEstate10KDataset(
+        _cfg(d, "realestate10k", **{"external_cond_dim": 0}), "training"
+    )
+    ds8 = RealEstate10KDataset(
+        _cfg(d, "realestate10k", resolution=8, **{"external_cond_dim": 0}),
+        "training",
+    )
+    assert ds16[0]["videos"].shape[1:3] == (16, 16)
+    assert ds8[0]["videos"].shape[1:3] == (8, 8)
+
+
 def test_re10k_mp4_layout(tmp_path):
     """256px RE10K layout uses mp4 under {split}_{res}."""
     pytest.importorskip("cv2")

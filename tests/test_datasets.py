@@ -132,6 +132,25 @@ def test_re10k_augment_consistency():
     np.testing.assert_allclose(p3, poses[::-1])
 
 
+def test_re10k_back_and_forth():
+    """Back-and-forth must match the reference permutation: even frames
+    forward then odd frames reversed (realestate10k.py:291-297,
+    cat([x[::2], x[1::2].flip(0)])) — for both even and odd lengths."""
+    for T in (7, 8):
+        video = np.random.RandomState(T).rand(T, 4, 4, 3).astype(np.float32)
+        poses = np.random.RandomState(T + 1).rand(T, 16).astype(np.float32)
+        v, p = re10k_augment(
+            video, poses, np.random.RandomState(0), back_and_forth_prob=1.0
+        )
+        np.testing.assert_allclose(
+            v, np.concatenate([video[::2], video[1::2][::-1]])
+        )
+        np.testing.assert_allclose(
+            p, np.concatenate([poses[::2], poses[1::2][::-1]])
+        )
+        assert not np.allclose(v, video)  # genuinely reorders the clip
+
+
 def test_dataloader_epochs():
     ds = SyntheticVideoDataset(num_videos=32, n_frames=2, resolution=4)
     loader = DataLoader(ds, batch_size=4, shuffle=True, drop_last=True, seed=0)
