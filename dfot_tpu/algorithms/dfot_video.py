@@ -568,9 +568,12 @@ def build_algorithm(cfg: Config, compute_dtype=jnp.bfloat16):
     """Algorithm registry (reference: algorithms/__init__.py)."""
     name = cfg.algorithm.get("_name", "dfot_video")
     algo_cfg = cfg.algorithm
-    if name in ("dfot_video", "gibbs_dfot_video"):
+    # "sd_video*" = the standard-diffusion baselines, same classes with
+    # full-sequence noise + fixed context (reference registry,
+    # experiments/video_generation.py:25-26)
+    if name in ("dfot_video", "gibbs_dfot_video", "sd_video"):
         return DFoTVideoAlgo(algo_cfg, compute_dtype)
-    if name == "dfot_video_pose":
+    if name in ("dfot_video_pose", "sd_video_3d"):
         return DFoTVideoPoseAlgo(algo_cfg, compute_dtype)
     if name == "difference_dfot_video":
         from .difference_dfot import DifferenceDFoTVideoAlgo

@@ -71,6 +71,43 @@ class VideoLatentPreprocessingExperiment:
 
             self._encode = jax.jit(encode)
             return
+        if "kl_autoencoder" in name:
+            # frozen diffusers kl-f8 preprocessor (reference
+            # autoencoder_kl/preprocessor.py:66-70): posterior MODE latents
+            from ..vae import KL_F8_CONFIG, AutoencoderKL
+
+            self.vae_cfg = (
+                ImageVAEConfig.from_config(acfg)
+                if acfg.get("ddconfig") is not None
+                else KL_F8_CONFIG
+            )
+            self.vae = AutoencoderKL(self.vae_cfg)
+            s = self.vae_cfg.resolution
+            x = jnp.zeros((1, s, s, 3))
+            self.is_video_vae = False
+            self.variables = self.vae.init(rng, x, rng, method=None)
+            pretrained = acfg.get("pretrained_path")
+            if self.load_path:
+                from ..training.checkpoint import restore_checkpoint
+
+                restored = restore_checkpoint(self.load_path)
+                self.variables = {"params": restored.get("params", restored)}
+            elif pretrained:
+                from ..utils.torch_ckpt import load_state_dict
+                from ..vae import import_diffusers_vae_params
+
+                self.variables = {
+                    "params": import_diffusers_vae_params(
+                        load_state_dict(pretrained)
+                    )
+                }
+
+            def encode(variables, x, rng):
+                posterior = self.vae.apply(variables, x, method=self.vae.encode)
+                return posterior.mode()
+
+            self._encode = jax.jit(encode)
+            return
         if "video" in name:
             self.vae_cfg = VideoVAEConfig.from_config(acfg)
             self.vae = VideoVAE(self.vae_cfg)

@@ -98,3 +98,26 @@ def test_every_shortcut_preset_expands():
     for name in presets:
         out = unwrap_shortcuts([f"@{name}"], CONFIG_DIR)
         assert out and all(o.startswith("++") for o in out), name
+
+
+def test_sd_video_baseline_leaves():
+    """algorithm=sd_video / sd_video_3d: the reference's standard-diffusion
+    baseline leaves (configurations/algorithm/sd_video{,_3d}.yaml) — same
+    algorithm classes with full-sequence noise + fixed-context training."""
+    cfg = load_config([
+        "+name=x", "dataset=ucf_101", "algorithm=sd_video",
+        "experiment=video_generation",
+    ])
+    assert cfg.algorithm._name == "sd_video"
+    assert cfg.algorithm.noise_level == "random_uniform"
+    assert cfg.algorithm.fixed_context.enabled is True
+    assert cfg.algorithm.fixed_context.dropout == 0.1
+    assert cfg.algorithm.diffusion.loss_weighting.strategy == "min_snr"
+
+    cfg3 = load_config([
+        "+name=x", "dataset=realestate10k_mini", "algorithm=sd_video_3d",
+        "experiment=video_generation",
+    ])
+    assert cfg3.algorithm._name == "sd_video_3d"
+    assert cfg3.algorithm.noise_level == "random_uniform"
+    assert cfg3.algorithm.camera_pose_conditioning.type == "ray_encoding"

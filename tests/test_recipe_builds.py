@@ -47,6 +47,10 @@ RECIPES = [
     ("dfot_video_pose", "dit3d_pose", _DIT_TINY, "realestate10k_mini"),
     ("dfot_video_pose", "u_vit3d_pose", _UVIT_TINY, "realestate10k_mini"),
     ("difference_dfot_video", "difference_dit3d", _DIT_TINY, "ucf_101"),
+    # standard-diffusion baselines: same classes, full-sequence noise +
+    # fixed context (reference registry experiments/video_generation.py:25-26)
+    ("sd_video", "dit3d", _DIT_TINY, "ucf_101"),
+    ("sd_video_3d", "u_vit3d_pose", _UVIT_TINY, "realestate10k_mini"),
 ]
 
 

@@ -241,3 +241,54 @@ def test_dc_ae_preprocessing_experiment(tmp_path):
     lat = np.load(f"{data_dir}_latent_16/training/v0.npy")
     assert lat.shape == (5, 4, 4, 8)  # per-frame latents, 16px -> 4x4
     assert np.isfinite(lat).all()
+
+
+def test_kl_autoencoder_preprocessing_experiment(tmp_path):
+    """KL-f8 preprocessor: posterior-MODE latents through the AutoencoderKL
+    alias (reference autoencoder_kl/preprocessor.py:66-70)."""
+    import jax
+
+    from dfot_tpu.config import load_config
+    from dfot_tpu.experiments.video_latent_preprocessing import (
+        VideoLatentPreprocessingExperiment,
+    )
+
+    data_dir = tmp_path / "data"
+    os.makedirs(data_dir / "training")
+    rng = np.random.RandomState(0)
+    video = (rng.rand(5, 16, 16, 3) * 255).astype(np.uint8)
+    np.savez(data_dir / "training" / "v0.npz", video=video)
+
+    cfg = load_config([
+        "+name=prep_kl",
+        "dataset=ucf_101",
+        "algorithm=kl_autoencoder_preprocessor",
+        "experiment=video_latent_preprocessing",
+        f"dataset.save_dir={data_dir}",
+        "dataset.resolution=16",
+        "dataset.max_frames=4",
+        "dataset.n_frames=4",
+        "++algorithm.embed_dim=4",
+        "++algorithm.ddconfig.in_channels=3",
+        "++algorithm.ddconfig.out_ch=3",
+        "++algorithm.ddconfig.ch=32",
+        "++algorithm.ddconfig.ch_mult=[1,2]",
+        "++algorithm.ddconfig.num_res_blocks=1",
+        "++algorithm.ddconfig.attn_resolutions=[]",
+        "++algorithm.ddconfig.dropout=0.0",
+        "++algorithm.ddconfig.resolution=16",
+        "++algorithm.ddconfig.z_channels=4",
+        "++algorithm.ddconfig.double_z=true",
+        "++algorithm.max_encode_length=4",
+    ])
+    exp = VideoLatentPreprocessingExperiment(cfg, str(tmp_path / "out"))
+    exp.exec_task("validation")
+
+    lat = np.load(f"{data_dir}_latent_16/training/v0.npy")
+    assert lat.shape == (5, 8, 8, 4)  # ch_mult (1,2) -> stride 2
+    assert lat.dtype == np.float16
+    # mode() latents are deterministic: the rng must not enter the encode
+    x = jax.numpy.zeros((1, 16, 16, 3))
+    a = exp._encode(exp.variables, x, jax.random.PRNGKey(0))
+    b = exp._encode(exp.variables, x, jax.random.PRNGKey(1))
+    assert np.array_equal(np.asarray(a), np.asarray(b))
