@@ -265,8 +265,9 @@ def main():
                     "'none' (store everything; ~25%% fewer FLOPs but "
                     "largest HBM footprint)")
     ap.add_argument("--interp-batch", type=int, default=1,
-                    help="interpolation max_batch_size (the flagship forward "
-                    "anti-scales with batch at 256px on one v5e; 1 is fastest)")
+                    help="interpolation max_batch_size (batch-scaling is flat "
+                    "on one v5e — ~78 ms per B=1-equivalent eval at B=1 and "
+                    "B=4 — so batching buys nothing and costs VMEM headroom)")
     args = ap.parse_args()
 
     import jax
