@@ -272,7 +272,7 @@ class VideoGenerationExperiment:
                 )
 
 
-        step = int(state.step)
+        step = step0 = int(state.step)
         t_start = time.time()
         epoch = 0
         with mesh:
@@ -299,11 +299,17 @@ class VideoGenerationExperiment:
                             jax.block_until_ready(metrics["loss"])
                     else:
                         state, metrics = train_step(state, tokens, r_step)
-                    step = int(state.step)
+                    # host-side step counter (state.step increments by exactly
+                    # 1 per call): an int(state.step) here would block on the
+                    # device every step and serialize host batch prep with
+                    # device compute — counting locally keeps dispatch async
+                    step += 1
 
                     if step % max(loss_freq, 1) == 0:
                         m = {k: float(v) for k, v in metrics.items()}
-                        m["steps_per_sec"] = step / max(time.time() - t_start, 1e-9)
+                        m["steps_per_sec"] = (step - step0) / max(
+                            time.time() - t_start, 1e-9
+                        )
                         self.logger.log(m, step)
                     if ckpt_every and step % ckpt_every == 0:
                         save_checkpoint(self.ckpt_dir, step, state, save_top_k)
