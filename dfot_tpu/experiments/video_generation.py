@@ -23,7 +23,12 @@ from ..config import Config
 from ..data.loader import DataLoader
 from ..data.video_dataset import build_dataset
 from ..parallel import make_mesh, shard_batch
-from ..training.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from ..training.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+    wait_for_checkpoints,
+)
 from ..utils.logging import MetricsLogger, log_video
 
 __all__ = ["VideoGenerationExperiment"]
@@ -312,7 +317,12 @@ class VideoGenerationExperiment:
                         )
                         self.logger.log(m, step)
                     if ckpt_every and step % ckpt_every == 0:
-                        save_checkpoint(self.ckpt_dir, step, state, save_top_k)
+                        # async: IO overlaps the next steps (the D2H copy
+                        # inside save() is synchronous, so donating the state
+                        # to the next train_step is safe)
+                        save_checkpoint(
+                            self.ckpt_dir, step, state, save_top_k, block=False
+                        )
                     if val_every and step % val_every == 0:
                         run_mid_validation(step)
                     if max_steps is not None and step >= max_steps:
@@ -325,11 +335,14 @@ class VideoGenerationExperiment:
                     run_mid_validation(step)
                 ckpt_epochs = tcfg.checkpointing.get("every_n_epochs") or 0
                 if ckpt_epochs and not done and epoch % ckpt_epochs == 0:
-                    save_checkpoint(self.ckpt_dir, step, state, save_top_k)
+                    save_checkpoint(
+                        self.ckpt_dir, step, state, save_top_k, block=False
+                    )
                 if use_subdataset and not done:
                     loader = make_loader(epoch)
                 if max_epochs is not None and epoch >= max_epochs:
                     done = True
+        wait_for_checkpoints()
         save_checkpoint(self.ckpt_dir, step, state, save_top_k)
         self.state = state
 

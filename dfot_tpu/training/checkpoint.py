@@ -17,15 +17,38 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 __all__ = [
-    "save_checkpoint", "latest_checkpoint", "restore_checkpoint",
-    "register_run", "resolve_run_checkpoint",
+    "save_checkpoint", "wait_for_checkpoints", "latest_checkpoint",
+    "restore_checkpoint", "register_run", "resolve_run_checkpoint",
 ]
 
 _STEP_RE = re.compile(r"checkpoint_(\d+)$")
 
+_ASYNC_CKPTR: Optional[ocp.AsyncCheckpointer] = None
+
 
 def _checkpointer() -> ocp.StandardCheckpointer:
     return ocp.StandardCheckpointer()
+
+
+def _async_checkpointer() -> ocp.AsyncCheckpointer:
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def _prune(ckpt_dir: str, keep: int) -> None:
+    """Delete all but the newest ``keep`` COMPLETE checkpoint dirs (orbax
+    in-flight tmp dirs have a suffix and never match the step regex)."""
+    steps = sorted(
+        int(m.group(1))
+        for name in os.listdir(ckpt_dir)
+        if (m := _STEP_RE.search(name))
+    )
+    for old in steps[:-keep] if keep > 0 else []:
+        shutil.rmtree(
+            os.path.join(ckpt_dir, f"checkpoint_{old}"), ignore_errors=True
+        )
 
 
 def save_checkpoint(
@@ -33,8 +56,19 @@ def save_checkpoint(
     step: int,
     state,
     save_top_k: int = 3,
+    block: bool = True,
 ) -> str:
-    """Save {params, ema_params, opt_state, step} under checkpoint_<step>/."""
+    """Save {params, ema_params, opt_state, step} under checkpoint_<step>/.
+
+    ``block=False`` uses orbax's AsyncCheckpointer: the device->host copy is
+    synchronous (so the caller may immediately reuse/donate the state's
+    device buffers), while serialization and disk IO run in a background
+    thread overlapping training — the reference's synchronous
+    ``accelerator.save_state`` stalls the step loop for the whole write.
+    Pruning in async mode runs after the PREVIOUS save has finished and only
+    touches complete dirs, so a crash mid-write always leaves the newest
+    finished checkpoint intact (disk transiently holds save_top_k + 1 dirs).
+    """
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.abspath(os.path.join(ckpt_dir, f"checkpoint_{step}"))
     payload = {
@@ -44,20 +78,25 @@ def save_checkpoint(
     }
     if state.ema_params is not None:
         payload["ema_params"] = state.ema_params
-    ckptr = _checkpointer()
-    ckptr.save(path, payload, force=True)
-    ckptr.wait_until_finished()
-
-    # prune to most recent save_top_k (reference save_top_k dir pruning)
-    if save_top_k and save_top_k > 0:
-        steps = sorted(
-            int(m.group(1))
-            for name in os.listdir(ckpt_dir)
-            if (m := _STEP_RE.search(name))
-        )
-        for old in steps[:-save_top_k]:
-            shutil.rmtree(os.path.join(ckpt_dir, f"checkpoint_{old}"), ignore_errors=True)
+    if block:
+        ckptr = _checkpointer()
+        ckptr.save(path, payload, force=True)
+        ckptr.wait_until_finished()
+        if save_top_k and save_top_k > 0:
+            _prune(ckpt_dir, save_top_k)
+    else:
+        ckptr = _async_checkpointer()
+        ckptr.wait_until_finished()  # at most one save in flight
+        if save_top_k and save_top_k > 0:
+            _prune(ckpt_dir, save_top_k)
+        ckptr.save(path, payload, force=True)
     return path
+
+
+def wait_for_checkpoints() -> None:
+    """Block until any in-flight async checkpoint save has committed."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def register_run(output_root: str, name: str, output_dir: str) -> str:

@@ -184,3 +184,42 @@ def test_train_step_on_8_device_mesh(cpu_mesh_devices):
         state, m = step(state, batch, jax.random.PRNGKey(0))
         assert np.isfinite(float(m["loss"]))
         assert int(state.step) == 1
+
+
+def test_async_checkpoint_save_restore_and_prune(tmp_path):
+    """block=False saves commit in the background (orbax AsyncCheckpointer);
+    wait_for_checkpoints() makes them durable, pruning keeps only complete
+    dirs, and the restored payload matches the saved state."""
+    import optax
+
+    from dfot_tpu.training.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+        wait_for_checkpoints,
+    )
+
+    params = {"w": jnp.arange(8, dtype=jnp.float32)}
+    tx = optax.sgd(1e-2)
+    state = create_train_state(params, tx, use_ema=True)
+    ckpt_dir = str(tmp_path / "ckpts")
+    for s in (1, 2, 3):
+        state = state.replace(params={"w": state.params["w"] + 1.0})
+        save_checkpoint(ckpt_dir, s, state, save_top_k=2, block=False)
+    wait_for_checkpoints()
+
+    latest = latest_checkpoint(ckpt_dir)
+    assert latest.endswith("checkpoint_3")
+    restored = restore_checkpoint(latest)
+    assert int(np.asarray(restored["step"])) == 3
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["w"]), np.arange(8) + 3.0
+    )
+    assert "ema_params" in restored
+    # pruning runs before each save over COMPLETE dirs only: disk holds at
+    # most save_top_k + 1 (the in-flight save), and after the final wait the
+    # newest dirs survive
+    import os as _os
+
+    dirs = sorted(d for d in _os.listdir(ckpt_dir) if d.startswith("checkpoint_"))
+    assert "checkpoint_3" in dirs and len(dirs) <= 3
