@@ -58,14 +58,16 @@ def _flops_of(compiled) -> float:
     return 0.0
 
 
-def build_flagship(tiny: bool, remat=False):
+def build_flagship(tiny: bool, remat=False, remat_policy=None):
     """The DFoT_RE10K model (or a tiny CPU stand-in with the same code path).
 
     Returns (model, bf16_variables, res, T, pose_dim). ``remat`` selects the
     jax.checkpoint pattern (training memory profile): True/False for all
     transformer levels, or an explicit per-level tuple. The reference recipe
     remats only the mid level (realestate10k_video_generation.yaml:44
-    ``use_checkpointing: [false, false, false, true]``).
+    ``use_checkpointing: [false, false, false, true]``). ``remat_policy``
+    picks the jax.checkpoint saveable policy for checkpointed levels
+    (none|dots|attn|dots_attn, see models/remat.py).
     """
     import jax
     import jax.numpy as jnp
@@ -82,6 +84,7 @@ def build_flagship(tiny: bool, remat=False):
             if isinstance(remat, (tuple, list))
             else (remat, remat),
             max_temporal_length=4,
+            remat_policy=remat_policy,
         )
         res, T, pose_dim = 16, 4, 6
     else:
@@ -97,6 +100,7 @@ def build_flagship(tiny: bool, remat=False):
             if isinstance(remat, (tuple, list))
             else (remat,) * 4,
             max_temporal_length=8,
+            remat_policy=remat_policy,
         )
         res, T, pose_dim = 256, 8, 180  # ray_encoding conditioning
 
@@ -157,7 +161,7 @@ def bench_forward(model, variables, res, T, pose_dim):
 
 
 def bench_train(model_spec_args, variables, res, T, pose_dim, dcfg, sched,
-                flops_per_fwd, batch: int = 1, remat=True):
+                flops_per_fwd, batch: int = 1, remat=True, remat_policy=None):
     """One jitted train step on the flagship (B=1, remat, AdamW + EMA).
 
     BASELINE configs 4-5 are training recipes with no published steps/sec;
@@ -174,7 +178,7 @@ def bench_train(model_spec_args, variables, res, T, pose_dim, dcfg, sched,
     from dfot_tpu.training.state import create_train_state
 
     tiny = model_spec_args["tiny"]
-    model, _, _, _, _ = build_flagship(tiny, remat=remat)
+    model, _, _, _, _ = build_flagship(tiny, remat=remat, remat_policy=remat_policy)
 
     # f32 master params (values irrelevant for throughput): re-materialize
     # from the bf16 inference weights rather than holding a second init
@@ -233,6 +237,7 @@ def bench_train(model_spec_args, variables, res, T, pose_dim, dcfg, sched,
         "train_mfu": round(mfu, 4),
         "train_tokens_per_sec": round(B * T / step_sec, 2),
         "remat": list(remat) if isinstance(remat, (tuple, list)) else remat,
+        "remat_policy": remat_policy or "none",
         "baseline_note": "A100 torch @35% MFU roofline (no published ref steps/sec)",
     }
 
@@ -264,6 +269,13 @@ def main():
                     "use_checkpointing: [false,false,false,true]), or "
                     "'none' (store everything; ~25%% fewer FLOPs but "
                     "largest HBM footprint)")
+    ap.add_argument("--train-remat-policy",
+                    choices=("none", "dots", "attn", "dots_attn"),
+                    default="none",
+                    help="jax.checkpoint saveable policy for the remated "
+                    "levels: 'dots' saves matmul outputs (recomputes only "
+                    "elementwise ops), 'attn' saves flash-attention outputs, "
+                    "'dots_attn' both (models/remat.py)")
     ap.add_argument("--interp-batch", type=int, default=1,
                     help="interpolation max_batch_size (batch-scaling is flat "
                     "on one v5e — ~78 ms per B=1-equivalent eval at B=1 and "
@@ -412,6 +424,8 @@ def main():
             train_line = bench_train(
                 {"tiny": args.tiny}, variables, res, T, pose_dim, dcfg, sched,
                 flops_per_fwd, batch=args.train_batch, remat=train_remat,
+                remat_policy=None if args.train_remat_policy == "none"
+                else args.train_remat_policy,
             )
             emit(train_line)
             emit({**window8_line,
@@ -528,6 +542,8 @@ def main():
             train_line = bench_train(
                 {"tiny": args.tiny}, variables, res, T, pose_dim, dcfg, sched,
                 flops_per_fwd, batch=args.train_batch, remat=train_remat,
+                remat_policy=None if args.train_remat_policy == "none"
+                else args.train_remat_policy,
             )
             emit(train_line)
             final_line = {

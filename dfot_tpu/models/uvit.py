@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import attention
+from .remat import remat_policy, tag_attn_out
 from .embeddings import (
     RoPE,
     StochasticTimeEmbedding,
@@ -146,7 +147,7 @@ class AxialAttention(nn.Module):
         k = RMSNorm(name="k_norm")(k)
         if self.rope is not None:
             q, k = apply_rope(q, self.rope), apply_rope(k, self.rope)
-        o = attention(q, k, v)
+        o = tag_attn_out(attention(q, k, v))
         o = jnp.moveaxis(o, 1, 2).reshape(B, N, C)
         out = nn.Dense(
             self.dim, use_bias=False,
@@ -206,7 +207,7 @@ class TransformerBlock(nn.Module):
         rope = self.rope_ax2 if self.use_axial else self.rope
         if rope is not None:
             q, k = apply_rope(q, rope), apply_rope(k, rope)
-        o = attention(q, k, v)
+        o = tag_attn_out(attention(q, k, v))
         o = jnp.moveaxis(o, 1, 2).reshape(B, N, C)
         x = residual + nn.Dense(
             dim, kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
@@ -275,6 +276,13 @@ class UViTSpec:
     pos_emb_type: str = "rope"
     use_checkpointing: Tuple[bool, ...] = (False, False, False, False)
     max_temporal_length: int = 8
+    # rematerialization granularity for checkpointed levels (jax.checkpoint
+    # policy): None = recompute everything (the reference's
+    # torch.utils.checkpoint semantics); "dots" = save matmul outputs and
+    # recompute only elementwise ops (norms/act/softmax) in the backward;
+    # "attn" = save only the attention outputs (tagged "attn_out" below) so
+    # the flash kernel's forward is not re-run; "dots_attn" = both
+    remat_policy: Optional[str] = None
 
     @classmethod
     def from_config(cls, cfg, max_tokens: int) -> "UViTSpec":
@@ -290,6 +298,7 @@ class UViTSpec:
             pos_emb_type=cfg.pos_emb_type,
             use_checkpointing=tuple(cfg.use_checkpointing),
             max_temporal_length=max_tokens,
+            remat_policy=cfg.get("remat_policy"),
         )
 
 
@@ -343,7 +352,11 @@ class UViT3D(nn.Module):
             return ResBlock(ch, self.dtype, name=name)
         cls = TransformerBlock
         if s.use_checkpointing[i_level]:
-            cls = nn.remat(TransformerBlock, static_argnums=(3,))  # (self, x, emb, train)
+            cls = nn.remat(
+                TransformerBlock,
+                static_argnums=(3,),  # (self, x, emb, train)
+                policy=remat_policy(s.remat_policy),
+            )
         return cls(
             ch,
             s.num_heads,

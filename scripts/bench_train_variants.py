@@ -1,9 +1,12 @@
 """Time flagship train-step remat variants on the TPU (one-off tuning aid).
 
 Runs bench.bench_train for each requested remat pattern on the full 467M
-flagship, sharing one forward compile for the FLOPs accounting. Usage:
+flagship, sharing one forward compile for the FLOPs accounting. Spec syntax
+NAME[+POLICY][:bN] — NAME in {mid, none, all}, POLICY in
+{dots, attn, dots_attn} (jax.checkpoint saveable policy, models/remat.py),
+bN = batch size. Usage:
 
-    python scripts/bench_train_variants.py mid none all mid:b2
+    python scripts/bench_train_variants.py mid none all mid+dots mid+dots:b2
 """
 
 import os
@@ -39,11 +42,13 @@ def main():
         try:
             name, _, bpart = spec.partition(":")
             if bpart and not bpart.startswith("b"):
-                raise ValueError(f"bad spec {spec!r}: want NAME or NAME:bN")
+                raise ValueError(f"bad spec {spec!r}: want NAME[+POLICY][:bN]")
             batch = int(bpart[1:]) if bpart else 1
+            name, _, policy = name.partition("+")
             line = bench.bench_train(
                 {"tiny": False}, variables, res, T, pose_dim, dcfg, sched,
                 flops_per_fwd, batch=batch, remat=patterns[name],
+                remat_policy=policy or None,
             )
             bench.emit({"variant": spec, **line})
         except Exception as e:  # noqa: BLE001 — keep timing the rest

@@ -223,3 +223,44 @@ def test_async_checkpoint_save_restore_and_prune(tmp_path):
 
     dirs = sorted(d for d in _os.listdir(ckpt_dir) if d.startswith("checkpoint_"))
     assert "checkpoint_3" in dirs and len(dirs) <= 3
+
+
+def test_remat_policy_gradients_match():
+    """Finer-grained remat policies (save dots / attention outputs instead of
+    recomputing the whole block) must not change the math: loss and grads
+    match the policy-free remat bit-for-bit up to float tolerance."""
+    from dfot_tpu.models.uvit import UViT3D, UViTSpec
+
+    def build(policy):
+        spec = UViTSpec(
+            channels=(32, 64), emb_channels=64, patch_size=2,
+            block_types=("ResBlock", "TransformerBlock"),
+            block_dropouts=(0.0, 0.0), num_updown_blocks=(1,),
+            num_mid_blocks=2, num_heads=2, pos_emb_type="rope",
+            use_checkpointing=(True, True), max_temporal_length=2,
+            remat_policy=policy,
+        )
+        return UViT3D(spec=spec, x_channels=3, resolution=8)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 8, 8, 3))
+    k = jnp.full((1, 2), 500.0)
+    variables = build(None).init({"params": jax.random.PRNGKey(1)}, x, k)
+
+    def loss_and_grads(policy):
+        model = build(policy)
+
+        def loss_fn(v):
+            return jnp.mean(jnp.square(model.apply(v, x, k)))
+
+        return jax.value_and_grad(loss_fn)(variables)
+
+    ref_loss, ref_grads = loss_and_grads(None)
+    for policy in ("dots", "attn", "dots_attn"):
+        loss, grads = loss_and_grads(policy)
+        assert np.allclose(float(loss), float(ref_loss), rtol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            ),
+            grads, ref_grads,
+        )
