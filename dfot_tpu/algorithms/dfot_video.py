@@ -197,6 +197,7 @@ class DFoTVideoAlgo:
                 patch_size=bcfg.patch_size,
                 max_temporal_length=self.max_tokens,
                 use_gradient_checkpointing=bcfg.get("use_gradient_checkpointing", False),
+                remat_policy=bcfg.get("remat_policy"),
                 causal=self.dcfg.use_causal_mask,
                 embed_col_dim=bcfg.get("embed_col_dim"),
                 embed_row_dim=bcfg.get("embed_row_dim"),

@@ -74,7 +74,9 @@ class Attention(nn.Module):
             out, weights = attention_with_weights(q, k, v, causal=self.causal)
             self.sow("intermediates", "attn_weights", weights)
         else:
-            out = attention(q, k, v, causal=self.causal)
+            from .remat import tag_attn_out
+
+            out = tag_attn_out(attention(q, k, v, causal=self.causal))
         out = jnp.moveaxis(out, 1, 2).reshape(B, N, C)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
@@ -178,6 +180,9 @@ class DiTSpec:
     patch_size: int = 2
     max_temporal_length: int = 16
     use_gradient_checkpointing: bool = False
+    # jax.checkpoint saveable policy for remated blocks
+    # (none|dots|attn|dots_attn, models/remat.py)
+    remat_policy: Optional[str] = None
     causal: bool = False
     # matrix-attention variants (reference dit_base.py:129-149)
     embed_col_dim: Optional[int] = None
@@ -261,7 +266,11 @@ class DiTBase(nn.Module):
 
         block = DiTBlock
         if s.use_gradient_checkpointing:
-            block = nn.remat(DiTBlock, static_argnums=())
+            from .remat import remat_policy
+
+            block = nn.remat(
+                DiTBlock, static_argnums=(), policy=remat_policy(s.remat_policy)
+            )
 
         def matrix_block(name):
             from .matrix import MatrixDiTBlock

@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--model", choices=("xl", "b"), default="xl",
                     help="xl: K600 @DiT/XL latents; b: Minecraft @DiT/B latents")
     ap.add_argument("--tiny", action="store_true", help="CPU smoke shapes")
+    ap.add_argument("--remat-policy", default=None,
+                    choices=("dots", "attn", "dots_attn"),
+                    help="jax.checkpoint saveable policy for the remated "
+                    "DiT blocks (models/remat.py); default recomputes all")
     args = ap.parse_args()
 
     import jax
@@ -58,15 +62,18 @@ def main():
 
     if args.tiny:
         spec = DiTSpec(hidden_size=64, depth=2, num_heads=2, patch_size=1,
-                       max_temporal_length=5, use_gradient_checkpointing=True)
+                       max_temporal_length=5, use_gradient_checkpointing=True,
+                       remat_policy=args.remat_policy)
         T, res, C = 3, 4, 16
     elif args.model == "xl":
         spec = DiTSpec(hidden_size=1152, depth=28, num_heads=16, patch_size=1,
-                       max_temporal_length=5, use_gradient_checkpointing=True)
+                       max_temporal_length=5, use_gradient_checkpointing=True,
+                       remat_policy=args.remat_policy)
         T, res, C = 5, 16, 16  # K600 latents: 17x128px -> (5, 16, 16, 16)
     else:
         spec = DiTSpec(hidden_size=768, depth=12, num_heads=12, patch_size=1,
-                       max_temporal_length=16, use_gradient_checkpointing=True)
+                       max_temporal_length=16, use_gradient_checkpointing=True,
+                       remat_policy=args.remat_policy)
         T, res, C = 16, 8, 32  # Minecraft latents: 16x128px -> (16, 8, 8, 32)
     dtype = jnp.bfloat16 if not args.tiny else jnp.float32
     model = DiT3D(spec=spec, x_channels=C, resolution=(res, res),
@@ -125,6 +132,7 @@ def main():
         "train_step_ms": round(step_sec * 1e3, 1),
         "train_mfu": round(train_flops / step_sec / V5E_PEAK_FLOPS, 4),
         "videos_per_sec": round(B / step_sec, 2),
+        "remat_policy": args.remat_policy or "none",
         "baseline_note": "A100 torch @35% MFU roofline (no published ref steps/sec)",
     }), flush=True)
 

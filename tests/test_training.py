@@ -264,3 +264,39 @@ def test_remat_policy_gradients_match():
             ),
             grads, ref_grads,
         )
+
+
+def test_dit_remat_policy_gradients_match():
+    """Same policy-invariance guarantee for the remated DiT3D blocks."""
+    from dfot_tpu.models.dit import DiT3D, DiTSpec
+
+    def build(policy):
+        spec = DiTSpec(
+            hidden_size=32, depth=2, num_heads=2, patch_size=2,
+            max_temporal_length=2, use_gradient_checkpointing=True,
+            remat_policy=policy,
+        )
+        return DiT3D(spec=spec, x_channels=3, resolution=(8, 8))
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 8, 8, 3))
+    k = jnp.full((1, 2), 500.0)
+    variables = build(None).init({"params": jax.random.PRNGKey(1)}, x, k)
+
+    def loss_and_grads(policy):
+        model = build(policy)
+
+        def loss_fn(v):
+            return jnp.mean(jnp.square(model.apply(v, x, k)))
+
+        return jax.value_and_grad(loss_fn)(variables)
+
+    ref_loss, ref_grads = loss_and_grads(None)
+    for policy in ("dots", "attn", "dots_attn"):
+        loss, grads = loss_and_grads(policy)
+        assert np.allclose(float(loss), float(ref_loss), rtol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            ),
+            grads, ref_grads,
+        )
