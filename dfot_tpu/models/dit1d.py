@@ -56,6 +56,7 @@ class DiT1DSpec:
     qk_norm: bool = False
     max_temporal_length: int = 16
     use_gradient_checkpointing: bool = False
+    remat_policy: Optional[str] = None  # none|dots|attn|dots_attn (models/remat.py)
 
     @classmethod
     def from_config(cls, cfg, max_tokens: int) -> "DiT1DSpec":
@@ -71,6 +72,7 @@ class DiT1DSpec:
             qk_norm=cfg.get("qk_norm", False),
             max_temporal_length=max_tokens,
             use_gradient_checkpointing=cfg.get("use_gradient_checkpointing", False),
+            remat_policy=cfg.get("remat_policy"),
         )
 
 
@@ -226,7 +228,9 @@ class DiT1D(nn.Module):
 
         block = DiT1DBlock
         if s.use_gradient_checkpointing:
-            block = nn.remat(DiT1DBlock)
+            from .remat import remat_policy
+
+            block = nn.remat(DiT1DBlock, policy=remat_policy(s.remat_policy))
         for i in range(s.depth):
             h = block(
                 s.hidden_size, s.num_heads, s.mlp_ratio, s.merge_mode, N,

@@ -43,6 +43,7 @@ class FARSpec:
     slope_scale: float = 0.0
     max_temporal_length: int = 16
     use_gradient_checkpointing: bool = False
+    remat_policy: Optional[str] = None  # none|dots|attn|dots_attn (models/remat.py)
 
     @classmethod
     def from_config(cls, cfg, max_tokens: int) -> "FARSpec":
@@ -56,6 +57,7 @@ class FARSpec:
             slope_scale=cfg.get("slope_scale", 0.0),
             max_temporal_length=max_tokens,
             use_gradient_checkpointing=cfg.get("use_gradient_checkpointing", False),
+            remat_policy=cfg.get("remat_policy"),
         )
 
 
@@ -168,7 +170,9 @@ class FARDiT(nn.Module):
 
         block = FARBlock
         if s.use_gradient_checkpointing:
-            block = nn.remat(FARBlock)
+            from .remat import remat_policy
+
+            block = nn.remat(FARBlock, policy=remat_policy(s.remat_policy))
         for i in range(s.depth):
             h = block(
                 s.hidden_size, s.num_heads, s.mlp_ratio, rope, self.dtype,
