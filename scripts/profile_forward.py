@@ -76,6 +76,11 @@ def main():
                     help="jax.checkpoint pattern — keep in sync with "
                     "bench.py --train-remat so the trace matches the "
                     "benchmarked configuration")
+    ap.add_argument("--train-remat-policy",
+                    choices=("none", "dots", "attn", "dots_attn"),
+                    default="none",
+                    help="saveable policy for the remated levels (match "
+                    "bench.py --train-remat-policy)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -113,7 +118,11 @@ def main():
             "none": False,
             "mid": (False,) * (n_levels - 1) + (True,),
         }[args.train_remat]
-        tmodel, _, _, _, _ = build_flagship(args.tiny, remat=remat)
+        tmodel, _, _, _, _ = build_flagship(
+            args.tiny, remat=remat,
+            remat_policy=None if args.train_remat_policy == "none"
+            else args.train_remat_policy,
+        )
         params = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.float32)
             if isinstance(a, jax.Array) and a.dtype == jnp.bfloat16
