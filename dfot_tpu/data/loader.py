@@ -10,11 +10,18 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
 
 __all__ = ["DataLoader", "GrainDataLoader", "make_loader"]
+
+# process_shard=(process_index, process_count): each host iterates a disjoint
+# 1/count slice of the (epoch-shuffled) index order and loads only its LOCAL
+# batch rows — the DDP DistributedSampler semantics of the reference
+# (base_data_module.py builds per-rank torch DataLoaders under Accelerate).
+# parallel/mesh.py:shard_batch reassembles the global device batch from the
+# per-host slices via jax.make_array_from_process_local_data.
 
 
 def _collate(items) -> Dict[str, np.ndarray]:
@@ -35,6 +42,7 @@ class DataLoader:
         drop_last: bool = True,
         seed: int = 0,
         prefetch: int = 2,
+        process_shard: Optional[Tuple[int, int]] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -42,16 +50,26 @@ class DataLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        self.process_shard = process_shard
         self.epoch = 0
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        if self.process_shard is not None:
+            n = n // self.process_shard[1]  # _index_order truncates shards equal
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _index_order(self) -> np.ndarray:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.RandomState(self.seed + self.epoch).shuffle(order)
+        if self.process_shard is not None:
+            # same seed on every host -> identical global order; strided
+            # slice -> disjoint equal shards (truncated to the common length
+            # so hosts stay in lockstep)
+            index, count = self.process_shard
+            n = len(order) // count * count
+            order = order[:n][index::count]
         return order
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -101,6 +119,7 @@ class GrainDataLoader:
         drop_last: bool = True,
         seed: int = 0,
         num_workers: int = 4,
+        process_shard: Optional[Tuple[int, int]] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -108,18 +127,29 @@ class GrainDataLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.num_workers = num_workers
+        self.process_shard = process_shard
         self.epoch = 0
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        if self.process_shard is not None:
+            n = n // self.process_shard[1]
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         import grain.python as grain
 
+        if self.process_shard is not None:
+            shard_options = grain.ShardOptions(
+                shard_index=self.process_shard[0],
+                shard_count=self.process_shard[1],
+                drop_remainder=True,
+            )
+        else:
+            shard_options = grain.NoSharding()
         sampler = grain.IndexSampler(
             num_records=len(self.dataset),
-            shard_options=grain.NoSharding(),
+            shard_options=shard_options,
             shuffle=self.shuffle,
             num_epochs=1,
             seed=self.seed + self.epoch,
@@ -152,14 +182,17 @@ def make_loader(
     drop_last: bool = True,
     seed: int = 0,
     num_workers: int = 0,
+    process_shard: Optional[Tuple[int, int]] = None,
 ):
     """Loader factory: grain worker processes when ``num_workers > 0``,
-    the in-process thread-prefetch loader otherwise."""
+    the in-process thread-prefetch loader otherwise. ``batch_size`` is the
+    PER-PROCESS batch when ``process_shard`` is set."""
     if num_workers and num_workers > 0:
         return GrainDataLoader(
             dataset, batch_size, shuffle=shuffle, drop_last=drop_last,
-            seed=seed, num_workers=num_workers,
+            seed=seed, num_workers=num_workers, process_shard=process_shard,
         )
     return DataLoader(
-        dataset, batch_size, shuffle=shuffle, drop_last=drop_last, seed=seed
+        dataset, batch_size, shuffle=shuffle, drop_last=drop_last, seed=seed,
+        process_shard=process_shard,
     )

@@ -117,6 +117,20 @@ class VideoGenerationExperiment:
         sub = cfg.dataset.get("subdataset_size")
         use_subdataset = isinstance(sub, int)
 
+        # multi-host: each host loads only its 1/P slice of the global batch
+        # (reference per-rank DDP dataloaders); shard_batch reassembles the
+        # global device array from the per-host rows
+        n_proc = jax.process_count()
+        local_batch = tcfg.batch_size
+        process_shard = None
+        if n_proc > 1:
+            assert tcfg.batch_size % n_proc == 0, (
+                f"batch_size {tcfg.batch_size} must divide over "
+                f"{n_proc} processes"
+            )
+            local_batch = tcfg.batch_size // n_proc
+            process_shard = (jax.process_index(), n_proc)
+
         def make_loader(epoch: int):
             from ..data.loader import make_loader as _make
 
@@ -126,10 +140,11 @@ class VideoGenerationExperiment:
             )
             return _make(
                 dataset,
-                batch_size=tcfg.batch_size,
+                batch_size=local_batch,
                 shuffle=tcfg.data.get("shuffle", True),
                 seed=tcfg.get("manual_seed", 0),
                 num_workers=tcfg.data.get("num_workers", 0) or 0,
+                process_shard=process_shard,
             )
 
         loader = make_loader(0)

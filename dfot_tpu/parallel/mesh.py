@@ -84,6 +84,18 @@ def shard_params(params, mesh: Mesh, min_size: int = 2**16):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch onto the mesh, sharded along the batch axis."""
+    """Place a host batch onto the mesh, sharded along the batch axis.
+
+    Single process: ``device_put`` of the global batch. Multi-process: each
+    host passes only its LOCAL rows (from a ``process_shard``-ed loader, see
+    data/loader.py) and the global device array is assembled from the
+    per-host slices without any host ever materializing the full batch —
+    the reference's per-rank DDP dataloader semantics.
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
