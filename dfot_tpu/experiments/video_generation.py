@@ -226,6 +226,7 @@ class VideoGenerationExperiment:
                 val_loader = DataLoader(
                     val_dataset, vcfg_val.batch_size,
                     shuffle=False, drop_last=False,
+                    process_shard=process_shard,
                 )
                 eval_denoise_fn = algo.make_eval_denoise()
             except FileNotFoundError:
@@ -285,6 +286,16 @@ class VideoGenerationExperiment:
                         context_frames=0,
                     )
             if losses:
+                if jax.process_count() > 1:
+                    # reference gathers per-rank losses before averaging
+                    # (simple_video_generation.py:422-430)
+                    from ..parallel import gather_for_metrics
+
+                    losses = list(
+                        gather_for_metrics(
+                            {"l": np.asarray(losses, np.float32)}
+                        )["l"].ravel()
+                    )
                 self.logger.log({"validation/loss": float(np.mean(losses))}, at_step)
             if val_sample and sample_batch is not None:
                 self._score_sampled_batch(
@@ -488,8 +499,13 @@ class VideoGenerationExperiment:
             else algo.n_context_tokens
         )
         dataset = build_dataset(cfg.dataset, split)
+        # multi-host: each host scores a disjoint shard; gather_for_metrics
+        # below reassembles the global batch on rank zero (reference
+        # per-rank DDP val loaders + accelerator.gather_for_metrics)
+        n_proc = jax.process_count()
         loader = DataLoader(
-            dataset, batch_size=vcfg.batch_size, shuffle=False, drop_last=False
+            dataset, batch_size=vcfg.batch_size, shuffle=False, drop_last=False,
+            process_shard=(jax.process_index(), n_proc) if n_proc > 1 else None,
         )
 
         params = self._load_eval_params()

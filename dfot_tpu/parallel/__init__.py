@@ -6,3 +6,10 @@ from .mesh import (
     shard_batch,
     shard_params,
 )
+from .multihost import (
+    barrier,
+    broadcast_from_zero,
+    gather_for_metrics,
+    is_rank_zero,
+    rank_zero_print,
+)
