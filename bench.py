@@ -424,8 +424,7 @@ def main():
             train_line = bench_train(
                 {"tiny": args.tiny}, variables, res, T, pose_dim, dcfg, sched,
                 flops_per_fwd, batch=args.train_batch, remat=train_remat,
-                remat_policy=None if args.train_remat_policy == "none"
-                else args.train_remat_policy,
+                remat_policy=args.train_remat_policy,  # "none" maps to None
             )
             emit(train_line)
             emit({**window8_line,
@@ -542,8 +541,7 @@ def main():
             train_line = bench_train(
                 {"tiny": args.tiny}, variables, res, T, pose_dim, dcfg, sched,
                 flops_per_fwd, batch=args.train_batch, remat=train_remat,
-                remat_policy=None if args.train_remat_policy == "none"
-                else args.train_remat_policy,
+                remat_policy=args.train_remat_policy,  # "none" maps to None
             )
             emit(train_line)
             final_line = {

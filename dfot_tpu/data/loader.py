@@ -56,7 +56,12 @@ class DataLoader:
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.process_shard is not None:
-            n = n // self.process_shard[1]  # _index_order truncates shards equal
+            count = self.process_shard[1]
+            # shards stay equal-length so hosts issue the same number of
+            # batches (collectives stay in lockstep): truncate when
+            # drop_last, pad-with-wrap otherwise (DistributedSampler
+            # semantics — every sample is seen, a few duplicated)
+            n = n // count if self.drop_last else -(-n // count)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _index_order(self) -> np.ndarray:
@@ -65,11 +70,15 @@ class DataLoader:
             np.random.RandomState(self.seed + self.epoch).shuffle(order)
         if self.process_shard is not None:
             # same seed on every host -> identical global order; strided
-            # slice -> disjoint equal shards (truncated to the common length
-            # so hosts stay in lockstep)
+            # slice -> disjoint equal shards
             index, count = self.process_shard
-            n = len(order) // count * count
-            order = order[:n][index::count]
+            if self.drop_last:
+                n = len(order) // count * count
+                order = order[:n]
+            elif len(order) % count:
+                pad = count - len(order) % count
+                order = np.concatenate([order, order[:pad]])
+            order = order[index::count]
         return order
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

@@ -87,8 +87,19 @@ class VideoGenerationExperiment:
                 )
         else:
             xs = batch["videos"]
-        xs = algo.normalize(jnp.asarray(xs))
-        masks = jnp.asarray(batch["nonterminal"])
+        if jax.process_count() > 1:
+            # multi-host: keep the local rows on HOST — shard_batch assembles
+            # the global device array from host memory
+            # (make_array_from_process_local_data), so normalizing on device
+            # here would just force a D2H round trip per step. numpy
+            # broadcasting computes the same (x - mean) / std.
+            xs = np.asarray(xs)
+            if algo.data_mean is not None:
+                xs = (xs - np.asarray(algo.data_mean)) / np.asarray(algo.data_std)
+            masks = np.asarray(batch["nonterminal"])
+        else:
+            xs = algo.normalize(jnp.asarray(xs))
+            masks = jnp.asarray(batch["nonterminal"])
         conds = batch.get("conds")
         # frame -> token conversion under temporal compression (token i maps
         # to frames ((i-1)*f, i*f]; reference _n_frames_to_n_tokens contract)
@@ -223,8 +234,9 @@ class VideoGenerationExperiment:
         if val_every or val_epoch_every:
             try:
                 val_dataset = build_dataset(cfg.dataset, "validation")
+                # batch_size is GLOBAL (same convention as training)
                 val_loader = DataLoader(
-                    val_dataset, vcfg_val.batch_size,
+                    val_dataset, max(vcfg_val.batch_size // n_proc, 1),
                     shuffle=False, drop_last=False,
                     process_shard=process_shard,
                 )
@@ -501,10 +513,12 @@ class VideoGenerationExperiment:
         dataset = build_dataset(cfg.dataset, split)
         # multi-host: each host scores a disjoint shard; gather_for_metrics
         # below reassembles the global batch on rank zero (reference
-        # per-rank DDP val loaders + accelerator.gather_for_metrics)
+        # per-rank DDP val loaders + accelerator.gather_for_metrics).
+        # batch_size is GLOBAL — same convention as training
         n_proc = jax.process_count()
         loader = DataLoader(
-            dataset, batch_size=vcfg.batch_size, shuffle=False, drop_last=False,
+            dataset, batch_size=max(vcfg.batch_size // n_proc, 1),
+            shuffle=False, drop_last=False,
             process_shard=(jax.process_index(), n_proc) if n_proc > 1 else None,
         )
 

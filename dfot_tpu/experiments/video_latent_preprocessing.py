@@ -23,6 +23,25 @@ from ..vae import ImageVAE, ImageVAEConfig, VideoVAE, VideoVAEConfig, estimate_l
 __all__ = ["VideoLatentPreprocessingExperiment"]
 
 
+def _local_diffusers_weights(name_or_path: Optional[str]) -> Optional[str]:
+    """Resolve pretrained_model_name_or_path to a local weights file when it
+    points at a diffusers checkpoint on disk (HF hub names need egress)."""
+    if not name_or_path:
+        return None
+    p = str(name_or_path)
+    if os.path.isfile(p):
+        return p
+    if os.path.isdir(p):
+        for fname in (
+            "diffusion_pytorch_model.safetensors",
+            "diffusion_pytorch_model.bin",
+        ):
+            cand = os.path.join(p, fname)
+            if os.path.exists(cand):
+                return cand
+    return None
+
+
 class VideoLatentPreprocessingExperiment:
     def __init__(self, cfg: Config, output_dir: Optional[str] = None, load: Optional[str] = None):
         self.cfg = cfg
@@ -86,7 +105,13 @@ class VideoLatentPreprocessingExperiment:
             x = jnp.zeros((1, s, s, 3))
             self.is_video_vae = False
             self.variables = self.vae.init(rng, x, rng, method=None)
-            pretrained = acfg.get("pretrained_path")
+            # the reference loads from the HF hub name
+            # (pretrained_model_name_or_path, preprocessor.py:21-32); in the
+            # zero-egress environment that only works when it points at a
+            # LOCAL diffusers checkpoint file/directory
+            pretrained = acfg.get("pretrained_path") or _local_diffusers_weights(
+                acfg.get("pretrained_model_name_or_path")
+            )
             if self.load_path:
                 from ..training.checkpoint import restore_checkpoint
 
@@ -101,6 +126,15 @@ class VideoLatentPreprocessingExperiment:
                         load_state_dict(pretrained)
                     )
                 }
+            else:
+                print(
+                    "WARNING: kl_autoencoder preprocessor has NO weights "
+                    "(pretrained_path unset and pretrained_model_name_or_path "
+                    "is not a local checkpoint) — latents will come from a "
+                    "randomly initialized VAE. Point "
+                    "algorithm.pretrained_path at a diffusers "
+                    "sd-vae-ft-* checkpoint before real preprocessing."
+                )
 
             def encode(variables, x, rng):
                 posterior = self.vae.apply(variables, x, method=self.vae.encode)

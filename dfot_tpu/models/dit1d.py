@@ -133,7 +133,11 @@ class DiT1DBlock(nn.Module):
             if bias is not None:
                 s = s + bias
             a = jax.nn.softmax(s, axis=-1).astype(h.dtype)
-            o = jnp.moveaxis(jnp.einsum("bhnm,bhmd->bhnd", a, v), 1, 2)
+            from .remat import tag_attn_out
+
+            o = jnp.moveaxis(
+                tag_attn_out(jnp.einsum("bhnm,bhmd->bhnd", a, v)), 1, 2
+            )
             return nn.Dense(self.dim, dtype=self.dtype, name="proj")(
                 o.reshape(B, TN, D)
             )

@@ -90,7 +90,9 @@ class FARBlock(nn.Module):
         s = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32) / math.sqrt(d)
         s = s + bias  # frame-causal mask + ALiBi slope
         a = jax.nn.softmax(s, axis=-1).astype(x.dtype)
-        o = jnp.einsum("bhnm,bhmd->bhnd", a, v)
+        from .remat import tag_attn_out
+
+        o = tag_attn_out(jnp.einsum("bhnm,bhmd->bhnd", a, v))
         o = jnp.moveaxis(o, 1, 2).reshape(B, N, C)
         x = x + gate * nn.Dense(self.dim, dtype=self.dtype, name="attn_out")(o)
 

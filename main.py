@@ -62,6 +62,22 @@ def run(argv):
 
     choices = cfg.get("_choices", {})
     stamp = datetime.now().strftime("%Y-%m-%d/%H-%M-%S")
+    if jax.process_count() > 1:
+        # every host must resolve the SAME run dir: checkpoint saves are a
+        # cross-process collective into one directory, and a per-host
+        # datetime stamp diverges whenever launches straddle a second
+        import numpy as _np
+
+        from dfot_tpu.parallel.multihost import broadcast_from_zero
+
+        t0 = int(
+            _np.asarray(
+                broadcast_from_zero(
+                    _np.asarray([int(datetime.now().timestamp())], _np.int64)
+                )
+            ).item()
+        )
+        stamp = datetime.fromtimestamp(t0).strftime("%Y-%m-%d/%H-%M-%S")
     output_dir = os.path.join(
         str(cfg.output_dir),
         str(choices.get("experiment", "exp")),
@@ -85,8 +101,9 @@ def run(argv):
             print(f"resolved load={load} -> {resolved}")
             load = resolved
 
-    run_id = register_run(str(cfg.output_dir), str(cfg.name), output_dir)
-    print(f"run id: {run_id} (load={run_id} resumes this run's checkpoints)")
+    if jax.process_index() == 0:
+        run_id = register_run(str(cfg.output_dir), str(cfg.name), output_dir)
+        print(f"run id: {run_id} (load={run_id} resumes this run's checkpoints)")
     experiment = build_experiment(cfg, output_dir, load)
     for task in cfg.experiment.tasks:
         experiment.exec_task(task)

@@ -119,9 +119,7 @@ def main():
             "mid": (False,) * (n_levels - 1) + (True,),
         }[args.train_remat]
         tmodel, _, _, _, _ = build_flagship(
-            args.tiny, remat=remat,
-            remat_policy=None if args.train_remat_policy == "none"
-            else args.train_remat_policy,
+            args.tiny, remat=remat, remat_policy=args.train_remat_policy,
         )
         params = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.float32)

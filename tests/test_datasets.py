@@ -242,3 +242,39 @@ def test_mp4_video_dataset(tmp_path):
         assert m["fps"] == 10.0
         assert len(m["pts"]) == 10
         assert np.all(np.diff(m["pts"]) > 0)  # monotonic timestamps
+
+
+def test_loader_process_shard_partition_and_tail():
+    """process_shard slices are disjoint, equal-length, and cover every
+    sample: truncated under drop_last, padded-with-wrap (DistributedSampler
+    semantics) when drop_last=False so the tail is never silently skipped."""
+    from dfot_tpu.data.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 7
+
+        def __getitem__(self, i):
+            return {"x": np.full((2,), i, np.float32)}
+
+    def ids(loader):
+        return [int(v) for b in loader for v in b["x"][:, 0]]
+
+    # drop_last=True: common length 6, shards {3, 3}, sample 7 dropped
+    shards = [
+        ids(DataLoader(DS(), 1, shuffle=False, drop_last=True, process_shard=(r, 2)))
+        for r in range(2)
+    ]
+    assert [len(s) for s in shards] == [3, 3]
+    assert sorted(shards[0] + shards[1]) == [0, 1, 2, 3, 4, 5]
+
+    # drop_last=False: padded to 8 with a wrapped duplicate — every sample
+    # seen, shards stay equal so multi-host collectives stay in lockstep
+    shards = [
+        ids(DataLoader(DS(), 1, shuffle=False, drop_last=False, process_shard=(r, 2)))
+        for r in range(2)
+    ]
+    assert [len(s) for s in shards] == [4, 4]
+    assert set(shards[0] + shards[1]) == set(range(7))
+    assert len(shards[0] + shards[1]) == 8  # exactly one wrapped duplicate
+    assert not set(shards[0]) & set(shards[1]) - {0}  # disjoint except pad
