@@ -1,0 +1,141 @@
+"""AOT-export the one-window DFoT sampler for serving.
+
+Serializes the jitted window sampler (the full 50-step lax.scan denoise
+program, history guidance included) to a portable ``jax.export`` artifact:
+a versioned StableHLO module that a serving process can deserialize and run
+WITHOUT the model-building Python (no flax, no config system) — only jax
+and the weights. This is a TPU-native serving story the reference (a
+research repo driven end-to-end by Hydra+Lightning Python) has no
+counterpart for; the workload itself is the reference's 8-frame
+quick-start window (README.md:72-74).
+
+    python scripts/export_sampler.py --tiny --out /tmp/sampler.jaxexport
+    python scripts/export_sampler.py --tiny --load /tmp/sampler.jaxexport
+
+``--load`` deserializes the artifact, runs one window, and (tiny mode)
+checks bit-equality against the in-process sampler.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build(tiny: bool):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bench import _identity_poses, build_flagship
+    from dfot_tpu.diffusion import DiffusionConfig, make_schedule
+    from dfot_tpu.guidance.history_guidance import HistoryGuidance
+    from dfot_tpu.sampling import plan_sampling
+    from dfot_tpu.sampling.sampler import make_window_sampler
+
+    model, variables, res, T, pose_dim = build_flagship(tiny)
+    steps = 5 if tiny else 50
+    dcfg = DiffusionConfig(timesteps=1000, sampling_timesteps=steps,
+                           objective="pred_v", clip_noise=20.0)
+    sched = make_schedule(dcfg)
+
+    def model_apply(variables, x, noise_levels, cond, cond_mask):
+        return model.apply(variables, x, noise_levels, cond, cond_mask)
+
+    cond_transform = None
+    conditions = None
+    if not tiny:
+        from dfot_tpu.models.uvit import precompute_pose_conditioning
+        from dfot_tpu.utils.geometry import expand_pose_conditions_jax
+
+        def cond_transform(c, v):  # noqa: F811 — flagship pose expansion
+            maps = expand_pose_conditions_jax(c, "ray_encoding", res).astype(
+                jnp.bfloat16
+            )
+            return precompute_pose_conditioning(model, v, maps)
+
+        conditions = jnp.asarray(_identity_poses(1, T))
+    elif pose_dim:
+        conditions = jnp.zeros((1, T, res, res, pose_dim))
+
+    sample_window = make_window_sampler(
+        model_apply, dcfg, sched, cond_transform=cond_transform
+    )
+
+    # the reference quick-start window: 1 context frame, vanilla HG (NFE 2)
+    hg = HistoryGuidance.vanilla(guidance_scale=4.0, timesteps=dcfg.timesteps)
+    mask = np.zeros((1, T), np.int64)
+    mask[:, 0] = 1
+    plan = plan_sampling(mask, hg, "full_sequence", dcfg.timesteps,
+                         steps, T, is_full_sequence=True)
+    plan_dev = jax.tree_util.tree_map(jnp.asarray, plan)
+
+    rng = jax.random.PRNGKey(0)
+    x_init = jax.random.normal(rng, (1, T, res, res, 3))
+    ctx = jnp.zeros((1, T, res, res, 3)).at[:, 0].set(0.5)
+    x_init = x_init.at[:, 0].set(ctx[:, 0])
+
+    import functools
+
+    fn = functools.partial(
+        sample_window, num_hist=plan.num_hist, num_gen=plan.num_gen
+    )
+    args = (variables, x_init, ctx, plan_dev, conditions, rng)
+    return fn, args
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--out", default="/tmp/dfot_sampler.jaxexport")
+    ap.add_argument("--load", default=None,
+                    help="deserialize this artifact and run one window")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.tiny:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    from jax import export
+
+    fn, call_args = build(args.tiny)
+
+    if args.load:
+        with open(args.load, "rb") as f:
+            exp = export.deserialize(f.read())
+        out = exp.call(*jax.tree_util.tree_leaves(call_args))
+        out = out[0] if isinstance(out, (tuple, list)) else out
+        print(f"loaded {args.load}: output {out.shape} {out.dtype}")
+        if args.tiny:
+            ref = fn(*call_args)
+            assert np.array_equal(np.asarray(out), np.asarray(ref)), (
+                "exported sampler diverges from the in-process sampler"
+            )
+            print("bit-equal vs in-process sampler: True")
+        return
+
+    # flatten the pytree args: export works on array leaves; the loader
+    # rebuilds the same flat order (tree_leaves is deterministic)
+    leaves = jax.tree_util.tree_leaves(call_args)
+    treedef = jax.tree_util.tree_structure(call_args)
+
+    flat_fn = jax.jit(
+        lambda *ls: fn(*jax.tree_util.tree_unflatten(treedef, ls))
+    )
+    avals = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves]
+    exp = export.export(flat_fn)(*avals)
+    blob = exp.serialize()
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    print(
+        f"exported window sampler -> {args.out} "
+        f"({len(blob) / 1e6:.2f} MB, {len(leaves)} array inputs, "
+        f"platforms={exp.platforms})"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -98,3 +98,28 @@ def test_history_guidance_visualizer(tmp_path):
     plan = plan_sampling(mask, hg, "full_sequence", 1000, 4, 4, 0)
     path = visualize_plan(plan, 1000, str(tmp_path / "hg.gif"), max_steps=3)
     assert os.path.exists(path) and os.path.getsize(path) > 0
+
+
+def test_export_sampler_roundtrip(tmp_path):
+    """jax.export serving artifact: the serialized window sampler reproduces
+    the in-process sampler bit-for-bit (scripts/export_sampler.py)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "sampler.jaxexport")
+    env = {**os.environ, "PYTHONPATH": "", "JAX_PLATFORMS": "cpu"}
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts/export_sampler.py"),
+         "--tiny", "--out", out],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=500,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out)
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts/export_sampler.py"),
+         "--tiny", "--load", out],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=500,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "bit-equal vs in-process sampler: True" in r.stdout
