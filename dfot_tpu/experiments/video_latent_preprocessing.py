@@ -52,6 +52,32 @@ class VideoLatentPreprocessingExperiment:
         self.max_encode_length = cfg.algorithm.get("max_encode_length", 16)
         self._build_vae()
 
+    def _restore_params(self, pretrained: Optional[str], importer) -> bool:
+        """Load weights (priority: explicit ``load=`` checkpoint, then a
+        torch checkpoint through ``importer``). Returns False when the VAE
+        keeps its random init."""
+        if self.load_path:
+            from ..training.checkpoint import restore_checkpoint
+
+            restored = restore_checkpoint(self.load_path)
+            self.variables = {"params": restored.get("params", restored)}
+            return True
+        if pretrained:
+            from ..utils.torch_ckpt import load_state_dict
+
+            self.variables = {"params": importer(load_state_dict(pretrained))}
+            return True
+        return False
+
+    def _mode_encode(self):
+        """Posterior-MODE encode closure (titok / kl_autoencoder)."""
+
+        def encode(variables, x, rng):
+            posterior = self.vae.apply(variables, x, method=self.vae.encode)
+            return posterior.mode()
+
+        return jax.jit(encode)
+
     def _build_vae(self):
         acfg = self.cfg.algorithm
         name = acfg.get("_name", "image_vae_preprocessor")
@@ -61,7 +87,7 @@ class VideoLatentPreprocessingExperiment:
         if "titok" in name:
             # frozen TiTok-KL preprocessor (reference tiktok_kl/preprocessor.py):
             # posterior MODE latents, videos kept in [0, 1] (:134-136)
-            from ..vae import TiTokConfig, TiTokKL
+            from ..vae import TiTokConfig, TiTokKL, import_titok_params
 
             self.vae_cfg = TiTokConfig.from_config(acfg)
             self.vae = TiTokKL(self.vae_cfg)
@@ -70,30 +96,13 @@ class VideoLatentPreprocessingExperiment:
             self.is_video_vae = False
             self.normalize_input = False
             self.variables = self.vae.init(rng, x, rng)
-            pretrained = acfg.get("pretrained_path")
-            if self.load_path:
-                from ..training.checkpoint import restore_checkpoint
-
-                restored = restore_checkpoint(self.load_path)
-                self.variables = {"params": restored.get("params", restored)}
-            elif pretrained:
-                from ..utils.torch_ckpt import load_state_dict
-                from ..vae import import_titok_params
-
-                self.variables = {
-                    "params": import_titok_params(load_state_dict(pretrained))
-                }
-
-            def encode(variables, x, rng):
-                posterior = self.vae.apply(variables, x, method=self.vae.encode)
-                return posterior.mode()
-
-            self._encode = jax.jit(encode)
+            self._restore_params(acfg.get("pretrained_path"), import_titok_params)
+            self._encode = self._mode_encode()
             return
         if "kl_autoencoder" in name:
             # frozen diffusers kl-f8 preprocessor (reference
             # autoencoder_kl/preprocessor.py:66-70): posterior MODE latents
-            from ..vae import KL_F8_CONFIG, AutoencoderKL
+            from ..vae import KL_F8_CONFIG, AutoencoderKL, import_diffusers_vae_params
 
             self.vae_cfg = (
                 ImageVAEConfig.from_config(acfg)
@@ -112,21 +121,7 @@ class VideoLatentPreprocessingExperiment:
             pretrained = acfg.get("pretrained_path") or _local_diffusers_weights(
                 acfg.get("pretrained_model_name_or_path")
             )
-            if self.load_path:
-                from ..training.checkpoint import restore_checkpoint
-
-                restored = restore_checkpoint(self.load_path)
-                self.variables = {"params": restored.get("params", restored)}
-            elif pretrained:
-                from ..utils.torch_ckpt import load_state_dict
-                from ..vae import import_diffusers_vae_params
-
-                self.variables = {
-                    "params": import_diffusers_vae_params(
-                        load_state_dict(pretrained)
-                    )
-                }
-            else:
+            if not self._restore_params(pretrained, import_diffusers_vae_params):
                 print(
                     "WARNING: kl_autoencoder preprocessor has NO weights "
                     "(pretrained_path unset and pretrained_model_name_or_path "
@@ -135,12 +130,7 @@ class VideoLatentPreprocessingExperiment:
                     "algorithm.pretrained_path at a diffusers "
                     "sd-vae-ft-* checkpoint before real preprocessing."
                 )
-
-            def encode(variables, x, rng):
-                posterior = self.vae.apply(variables, x, method=self.vae.encode)
-                return posterior.mode()
-
-            self._encode = jax.jit(encode)
+            self._encode = self._mode_encode()
             return
         if "video" in name:
             self.vae_cfg = VideoVAEConfig.from_config(acfg)
@@ -167,17 +157,12 @@ class VideoLatentPreprocessingExperiment:
             self.variables = self.vae.init(rng, x)
         else:
             self.variables = self.vae.init(rng, x, rng, method=None)
-        pretrained = acfg.get("pretrained_path")
-        if self.load_path:
-            from ..training.checkpoint import restore_checkpoint
-
-            restored = restore_checkpoint(self.load_path)
-            self.variables = {"params": restored.get("params", restored)}
-        elif pretrained and "dc_ae" in name:
-            from ..utils.torch_ckpt import load_state_dict
+        if "dc_ae" in name:
             from ..vae import import_dc_ae_params
 
-            self.variables = {"params": import_dc_ae_params(load_state_dict(pretrained))}
+            self._restore_params(acfg.get("pretrained_path"), import_dc_ae_params)
+        else:
+            self._restore_params(None, None)  # load= checkpoint only
 
         def encode(variables, x, rng):
             if self.is_deterministic:
