@@ -30,9 +30,12 @@ from ..vae import (
     VideoVAE,
     VideoVAEConfig,
     adopt_weight,
+    calculate_adaptive_weight,
+    decoder_last_kernel_path,
     vae_discriminator_loss,
     vae_generator_loss,
 )
+from ..vae.losses import tree_get, tree_set
 
 __all__ = ["VideoLatentLearningExperiment"]
 
@@ -101,21 +104,35 @@ class VideoLatentLearningExperiment:
                     )
                     return -jnp.mean(logits), logits
 
-                # adaptive generator weight ||grad_rec|| / ||grad_gan|| taken
-                # at the reconstruction (reference calculate_adaptive_weight
-                # uses the decoder's last layer; the recon-space ratio is the
-                # same quantity up to the shared last-layer Jacobian)
+                # adaptive generator weight ||grad_rec|| / ||grad_gan||, both
+                # grads taken wrt the DECODER'S LAST-LAYER KERNEL exactly as
+                # the reference's calculate_adaptive_weight does (perceptual_
+                # loss.py:77-90,227-236 with last_layer=decoder.conv_out
+                # .weight). One jax.vjp pinned at that leaf gives both
+                # cotangents; the backward stops at the final conv, and XLA
+                # CSEs the extra primal forward against the loss forward.
                 def rec_of(r):
                     if loss_type == "l1":
                         return jnp.mean(jnp.abs(r - x))
                     return jnp.mean((r - x) ** 2)
 
-                g_rec = jax.grad(rec_of)(jax.lax.stop_gradient(recon))
-                g_gan = jax.grad(lambda r: disc_g(r)[0])(jax.lax.stop_gradient(recon))
-                d_weight = jnp.linalg.norm(g_rec.ravel()) / (
-                    jnp.linalg.norm(g_gan.ravel()) + 1e-4
+                p_det = jax.lax.stop_gradient(params)
+                last_path = decoder_last_kernel_path(p_det)
+                last_w = tree_get(p_det, last_path)
+
+                def recon_of_last(lw):
+                    r, _ = vae.apply(
+                        {"params": tree_set(p_det, last_path, lw)},
+                        x, r_post, train=True, rngs={"dropout": r_drop},
+                    )
+                    return r
+
+                recon_s, vjp_fn = jax.vjp(recon_of_last, last_w)
+                (nll_grads,) = vjp_fn(jax.grad(rec_of)(recon_s))
+                (gan_grads,) = vjp_fn(
+                    jax.grad(lambda r: disc_g(r)[0])(recon_s)
                 )
-                d_weight = jnp.clip(jax.lax.stop_gradient(d_weight), 0.0, 1e4)
+                d_weight = calculate_adaptive_weight(nll_grads, gan_grads)
 
                 _, logits_fake = disc_g(recon)
                 total, parts = vae_generator_loss(

@@ -17,6 +17,8 @@ from .losses import (
     import_lpips_params,
     NLayerDiscriminator,
     adopt_weight,
+    calculate_adaptive_weight,
+    decoder_last_kernel_path,
     hinge_d_loss,
     vae_discriminator_loss,
     vae_generator_loss,

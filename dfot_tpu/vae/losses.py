@@ -153,6 +153,59 @@ def vae_generator_loss(
     }
 
 
+def decoder_last_kernel_path(params) -> Tuple[str, ...]:
+    """Path to the decoder's final conv kernel inside a VAE param tree.
+
+    The reference's adaptive generator weight differentiates wrt the
+    decoder's LAST LAYER weight (``get_last_layer()`` returns
+    ``decoder.conv_out.weight``; perceptual_loss.py:77-90, 227-236). Both
+    ImageVAE and VideoVAE scope it under ``decoder/conv_out``; VideoVAE's
+    CausalConv3d nests an inner ``nn.Conv``, so descend to the ``kernel``
+    leaf.
+    """
+
+    def find(tree, path):
+        if isinstance(tree, dict):
+            k = tree.get("kernel")
+            if k is not None and not isinstance(k, dict):
+                return path + ("kernel",)
+            for key in tree:
+                r = find(tree[key], path + (key,))
+                if r is not None:
+                    return r
+        return None
+
+    path = find(params["decoder"]["conv_out"], ("decoder", "conv_out"))
+    if path is None:
+        raise ValueError("no kernel leaf under decoder/conv_out")
+    return path
+
+
+def tree_get(tree, path: Tuple[str, ...]):
+    for k in path:
+        tree = tree[k]
+    return tree
+
+
+def tree_set(tree, path: Tuple[str, ...], value):
+    """Copy-on-path functional set (plain-dict param trees)."""
+    if not path:
+        return value
+    return {**tree, path[0]: tree_set(tree[path[0]], path[1:], value)}
+
+
+def calculate_adaptive_weight(
+    nll_grads: jax.Array, g_grads: jax.Array, disc_weight: float = 1.0
+) -> jax.Array:
+    """Reference ``calculate_adaptive_weight`` (perceptual_loss.py:77-90):
+    ``||grad(nll, last_layer)|| / (||grad(gan, last_layer)|| + 1e-4)``,
+    clipped to [0, 1e4], detached, scaled by ``disc_weight``."""
+    d = jnp.linalg.norm(nll_grads.ravel()) / (
+        jnp.linalg.norm(g_grads.ravel()) + 1e-4
+    )
+    return jax.lax.stop_gradient(jnp.clip(d, 0.0, 1e4)) * disc_weight
+
+
 def vae_discriminator_loss(
     logits_real: jax.Array, logits_fake: jax.Array,
     disc_weight: jax.Array, loss_type: str = "hinge",

@@ -348,3 +348,84 @@ def test_lpips_import_structural():
         assert vt.shape == vi.shape, path
     d = model.apply({"params": params}, x, jnp.ones_like(x) * 0.5)
     assert d.shape == (1,) and np.isfinite(np.asarray(d)).all()
+
+
+def test_adaptive_weight_matches_reference_torch():
+    """Adaptive generator weight parity vs the reference formula.
+
+    The reference computes ``||grad(nll, last_layer)|| /
+    (||grad(gan, last_layer)|| + 1e-4)`` with both grads taken wrt the
+    decoder's final conv WEIGHT via torch.autograd.grad (reference
+    perceptual_loss.py:77-90,227-236). Here: identical tiny last-layer conv,
+    torch autograd vs the trainer's jax.vjp-pinned-at-the-kernel pattern
+    (experiments/video_latent_learning.py).
+    """
+    import torch
+    import torch.nn.functional as F
+
+    from dfot_tpu.vae.losses import calculate_adaptive_weight
+
+    rng = np.random.RandomState(0)
+    h = rng.randn(2, 8, 6, 6).astype(np.float32)  # NCHW activations
+    W = rng.randn(3, 8, 3, 3).astype(np.float32)  # OIHW last-layer kernel
+    x = rng.randn(2, 3, 6, 6).astype(np.float32)
+    kfix = rng.randn(2, 3, 6, 6).astype(np.float32)  # frozen "disc" probe
+    disc_weight = 0.37
+
+    Wt = torch.tensor(W, requires_grad=True)
+    recon = F.conv2d(torch.tensor(h), Wt, padding=1)
+    nll = (recon - torch.tensor(x)).abs().mean()
+    g_loss = -(recon * torch.tensor(kfix)).mean()
+    nll_grads = torch.autograd.grad(nll, Wt, retain_graph=True)[0]
+    g_grads = torch.autograd.grad(g_loss, Wt, retain_graph=True)[0]
+    d_ref = float(
+        (torch.norm(nll_grads) / (torch.norm(g_grads) + 1e-4))
+        .clamp(0.0, 1e4)
+    ) * disc_weight
+
+    h_j = jnp.asarray(h.transpose(0, 2, 3, 1))  # NHWC
+    W_j = jnp.asarray(W.transpose(2, 3, 1, 0))  # HWIO
+    x_j = jnp.asarray(x.transpose(0, 2, 3, 1))
+    k_j = jnp.asarray(kfix.transpose(0, 2, 3, 1))
+
+    def recon_of(w):
+        return jax.lax.conv_general_dilated(
+            h_j, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    recon_j, vjp = jax.vjp(recon_of, W_j)
+    (nll_g,) = vjp(jax.grad(lambda r: jnp.mean(jnp.abs(r - x_j)))(recon_j))
+    (gan_g,) = vjp(jax.grad(lambda r: -jnp.mean(r * k_j))(recon_j))
+    d_jax = float(calculate_adaptive_weight(nll_g, gan_g, disc_weight))
+    np.testing.assert_allclose(d_jax, d_ref, rtol=1e-4)
+
+
+def test_decoder_last_kernel_path_image_and_video():
+    """The path helper resolves the final conv kernel for both VAE families
+    (reference get_last_layer(): decoder.conv_out.weight)."""
+    from dfot_tpu.vae import (
+        ImageVAE, ImageVAEConfig, VideoVAE, VideoVAEConfig,
+        decoder_last_kernel_path,
+    )
+    from dfot_tpu.vae.losses import tree_get
+
+    icfg = ImageVAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                          z_channels=4, embed_dim=4, resolution=16,
+                          out_ch=3, in_channels=3, attn_resolutions=())
+    ivae = ImageVAE(icfg)
+    iv = ivae.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)),
+                   jax.random.PRNGKey(1))
+    ipath = decoder_last_kernel_path(iv["params"])
+    assert ipath[:2] == ("decoder", "conv_out")
+    assert tree_get(iv["params"], ipath).shape[-1] == 3  # out_ch leaf
+
+    vcfg = VideoVAEConfig(hidden_size=32, hidden_size_mult=(1, 2),
+                          num_res_blocks=1, z_channels=4, embed_dim=4,
+                          in_channels=3, temporal_length=5)
+    vvae = VideoVAE(vcfg)
+    vv = vvae.init(jax.random.PRNGKey(0), jnp.zeros((1, 5, 16, 16, 3)),
+                   jax.random.PRNGKey(1))
+    vpath = decoder_last_kernel_path(vv["params"])
+    assert vpath[:2] == ("decoder", "conv_out")
+    assert tree_get(vv["params"], vpath).shape[-1] == 3
