@@ -123,3 +123,26 @@ def test_export_sampler_roundtrip(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "bit-equal vs in-process sampler: True" in r.stdout
+
+
+def test_fetch_and_verify_fixtures_subset(tmp_path):
+    """Day-1 weights pipeline dry run (scripts/fetch_and_verify.py): fixture
+    write -> registry fail-fast load -> smoke -> FVD -> DFoT ckpt import +
+    sample, on the fast subset (reference ckpt_utils.py:111-121 download
+    flow, replayed against random-weight fixtures)."""
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env.update({"PYTHONPATH": "", "JAX_PLATFORMS": "cpu"})
+    r = subprocess.run(
+        [sys.executable, "scripts/fetch_and_verify.py", "--fixtures",
+         "--only", "lpips,laion", "--tmp", str(tmp_path)],
+        capture_output=True, text=True, timeout=520,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "RESULT: PASS" in r.stdout
+    assert "lpips: PASS" in r.stdout
+    assert '"tree_match": true' in r.stdout and '"sample_ok": true' in r.stdout
