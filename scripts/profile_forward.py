@@ -82,6 +82,14 @@ def main():
                     help="saveable policy for the remated levels (match "
                     "bench.py --train-remat-policy)")
     ap.add_argument("--out", default="")
+    ap.add_argument("--precomputed-cond", action="store_true",
+                    help="trace the in-scan eval (precomputed pose "
+                    "conditioning) instead of the raw standalone forward")
+    ap.add_argument("--summary-out", default="",
+                    help="write a compact committed-artifact JSON (per-op / "
+                    "per-category ms + wall clock) that "
+                    "scripts/recompute_floor.py can re-derive the forward "
+                    "floor from")
     args = ap.parse_args()
 
     import jax
@@ -162,7 +170,28 @@ def main():
         fwd = jax.jit(lambda v, x, k, c: model.apply(v, x, k, c, None))
         x = jnp.zeros((B, T, res, res, 3))
         k = jnp.full((B, T), 500.0)
-        p = jnp.zeros((B, T, res, res, pose_dim))
+        if args.precomputed_cond:
+            # trace the program the rollout scan actually executes: the
+            # step-invariant pose FiLM projections are hoisted out of the
+            # scan (bench.py cond_transform), so the in-scan eval consumes
+            # PRECOMPUTED conditioning
+            from dfot_tpu.models.uvit import precompute_pose_conditioning
+            from dfot_tpu.utils.geometry import expand_pose_conditions_jax
+
+            import numpy as _np
+            pose = _np.zeros((B, T, 16), _np.float32)
+            pose[..., :4] = [1.0, 1.0, 0.5, 0.5]
+            pose[..., 4] = pose[..., 9] = pose[..., 14] = 1.0
+            ctype = "ray_encoding" if pose_dim == 180 else "ray"
+            cdt = jnp.float32 if args.tiny else jnp.bfloat16
+
+            def cond_transform(c, v):
+                maps = expand_pose_conditions_jax(c, ctype, res).astype(cdt)
+                return precompute_pose_conditioning(model, v, maps)
+
+            p = jax.jit(cond_transform)(jnp.asarray(pose), variables)
+        else:
+            p = jnp.zeros((B, T, res, res, pose_dim))
         out = fwd(variables, x, k, p)
         float(jnp.mean(out))  # compile + settle
 
@@ -181,6 +210,25 @@ def main():
         "wall_ms_per_step": round(wall * 1e3, 2),
         "traced_device_ms_per_step": round(total / 1e3 / n, 2),
     }))
+    if args.summary_out:
+        summary = {
+            "workload": "train_step" if args.train else "forward",
+            "batch": B,
+            "steps": n,
+            "wall_ms_per_step": round(wall * 1e3, 3),
+            "traced_device_ms_per_step": round(total / 1e3 / n, 3),
+            "per_category_ms": {
+                c: round(us / 1e3 / n, 4) for c, us in per_cat.most_common()
+            },
+            "per_op_ms": {
+                name: round(us / 1e3 / n, 4)
+                for name, us in per_op.most_common(200)
+            },
+        }
+        os.makedirs(os.path.dirname(args.summary_out) or ".", exist_ok=True)
+        with open(args.summary_out, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"summary written: {args.summary_out}")
     print("\n== by category (ms/step) ==")
     for cat, us in per_cat.most_common(20):
         print(f"{us / 1e3 / n:9.3f}  {cat}")
