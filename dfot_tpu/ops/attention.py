@@ -459,7 +459,14 @@ def _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k, interpret):
     # lanes are inert through all the dots). The kernel runs transposed, so
     # lse/delta are passed as (b*h, 1, n) rows: the (n, 1) -> (1, n) reshape
     # is order-preserving and the per-q-block DMA slice is a slim f32 row.
-    dkv_block_k = 128
+    #
+    # k-block width: each k-block program streams the ENTIRE q/dO from HBM,
+    # so the kernel's dominant HBM traffic is (n / dkv_block_k) * 2 * n * 128
+    # lanes per (batch*head). At the flagship's 8192-token level-2 layers a
+    # 128-wide k block costs ~2.3 GB per layer-pass (~3 ms of pure q/dO
+    # re-streaming at v5e bandwidth); 512-wide cuts it 4x. VMEM stays small:
+    # the four (blk_k, block_q) f32 score tiles at 512x512 are 4 MB.
+    dkv_block_k = next((bk for bk in (512, 256, 128) if n % bk == 0), 128)
     d_pad = -d % 128
     qp, kp, vp, dop = (
         jnp.pad(a, ((0, 0), (0, 0), (0, d_pad))) for a in (qf, kf, vf, dof)

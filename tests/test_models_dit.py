@@ -351,3 +351,25 @@ def test_flash_block_picker_vmem_rule():
     assert _pick_blocks(4096) == (1024, 1024)
     assert _pick_blocks(8192) == (512, 1024)
     assert _pick_blocks(16384) == (512, 1024)
+
+
+def test_flash_attention_backward_wide_dkv_block():
+    """The adaptive dkv k-block (512-wide at block-multiple lengths, cutting
+    the kernel's q/dO HBM re-streaming 4x) matches dense autodiff at a
+    sequence long enough to select it."""
+    q, k, v = [
+        jax.random.normal(jax.random.PRNGKey(30 + i), (1, 1, 512, 64))
+        for i in range(3)
+    ]
+    g = jax.random.normal(jax.random.PRNGKey(33), (1, 1, 512, 64))
+
+    def dense(q, k, v):
+        return attention_with_weights(q, k, v)[0]
+
+    def flash(q, k, v):
+        return flash_attention(q, k, v, False, 128, 128, True)
+
+    _, vjp_d = jax.vjp(dense, q, k, v)
+    _, vjp_f = jax.vjp(flash, q, k, v)
+    for a, b_ in zip(vjp_d(g), vjp_f(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-2)
