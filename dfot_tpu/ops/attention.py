@@ -29,7 +29,11 @@ HBM-bound on statistics traffic (256 KB of the 384 KB streamed per q-block
 was broadcast copies of two scalars-per-row). All dots take the inputs in
 their native dtype (bf16 in production) with fp32 accumulation via
 preferred_element_type — pre-casting operands to fp32 forces half-rate fp32
-MXU passes.
+MXU passes. The forward has a second orientation, ``pvt``
+(set_flash_forward_variant), that computes o^T = v^T @ p^T so the pv dot's
+output width is BLK_Q instead of D — with D = 64 heads that fills all 128
+MXU lanes instead of half of them (the qk dot is capped by its D-wide
+contraction either way).
 """
 
 from __future__ import annotations
@@ -47,6 +51,7 @@ __all__ = [
     "attention",
     "small_n_attention",
     "flash_attention",
+    "set_flash_forward_variant",
     "attention_with_weights",
     "set_attention_capture",
     "attention_capture_enabled",
@@ -84,19 +89,26 @@ def _flash_kernel(
     Refs are (1, BLK_Q, D) for q/o, (1, N, D) for k/v (whole in VMEM: a few
     thousand tokens * 64-128 dims is well under the ~16MB budget; block
     streaming still bounds the score matrix), (1, BLK_Q, 1) for lse.
+
+    Dots take q/k/v in their NATIVE dtype (bf16 in production) with fp32
+    accumulation, like the backward kernels — pre-casting to f32 forces
+    half-rate fp32 MXU passes. The softmax scale is folded into the
+    max-subtraction (the running max is tracked on RAW scores), so no extra
+    full-tile multiply is paid; the emitted lse is in scaled units, as the
+    backward expects.
     """
-    q = q_ref[0].astype(jnp.float32) * sm_scale
+    q = q_ref[0]
     blk_q, d = q.shape
     num_kb = seq_len // block_k
     q_block_start = pl.program_id(1) * blk_q
 
     def body(i, carry):
         acc, m_i, l_i = carry  # (blk_q, d), (blk_q, 1), (blk_q, 1)
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (blk_q, block_k)
+        )  # (blk_q, block_k) — RAW (unscaled) scores
         if causal:
             q_pos = q_block_start + jax.lax.broadcasted_iota(
                 jnp.int32, (blk_q, block_k), 0
@@ -106,11 +118,12 @@ def _flash_kernel(
             )
             s = jnp.where(q_pos >= k_pos, s, _NEG_INF)
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_i - m_new)
-        p = jnp.exp(s - m_new)
+        alpha = jnp.exp((m_i - m_new) * sm_scale)
+        p = jnp.exp((s - m_new) * sm_scale)
         l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return acc, m_new, l_new
 
@@ -119,7 +132,77 @@ def _flash_kernel(
     l0 = jnp.zeros((blk_q, 1), jnp.float32)
     acc, m_i, l_i = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
     o_ref[0] = (acc / l_i).astype(o_ref.dtype)
-    lse_ref[0] = m_i + jnp.log(l_i)  # (blk_q, 1)
+    lse_ref[0] = m_i * sm_scale + jnp.log(l_i)  # (blk_q, 1), scaled units
+
+
+def _flash_kernel_pvt(
+    q_ref, k_ref, vt_ref, ot_ref, lse_ref, *, block_k: int, seq_len: int,
+    causal: bool, sm_scale: float
+):
+    """Transposed-pv forward: one (batch*head, q-block) program computing
+    o^T = v^T @ p^T with scores held as (block_k, BLK_Q).
+
+    The row-oriented pv dot has output width D = 64 — half the 128 MXU lanes
+    idle. Here the pv dot is (D, block_k) @ (block_k, BLK_Q): contraction
+    block_k >= 128 fills the systolic rows and output width BLK_Q >= 512
+    fills every lane, lifting the pv dot from ~50% to ~100% MXU utilization
+    (the qk dot stays capped by the D=64 contraction either way — same
+    orientation trick as the dkv backward kernel). Per-row statistics are
+    (1, BLK_Q) ROW vectors that broadcast along sublanes natively. v arrives
+    pre-transposed as (1, D, N); o leaves as (1, D, BLK_Q) and is transposed
+    back by XLA outside the kernel (a few-MB relayout per call, amortized
+    against the pv-dot speedup at video token counts).
+    """
+    q = q_ref[0]  # (blk_q, d) native dtype
+    blk_q = q.shape[0]
+    d = vt_ref.shape[1]
+    num_kb = seq_len // block_k
+    q_block_start = pl.program_id(1) * blk_q
+
+    def body(i, carry):
+        acc, m_i, l_i = carry  # (d, blk_q), (1, blk_q), (1, blk_q)
+        kb = k_ref[0, pl.ds(i * block_k, block_k), :]  # (block_k, d)
+        s_t = jax.lax.dot_general(
+            kb, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (block_k, blk_q) — RAW scores, transposed
+        if causal:
+            k_pos = i * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_k, blk_q), 0
+            )
+            q_pos = q_block_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_k, blk_q), 1
+            )
+            s_t = jnp.where(q_pos >= k_pos, s_t, _NEG_INF)
+        m_new = jnp.maximum(m_i, jnp.max(s_t, axis=0, keepdims=True))
+        alpha = jnp.exp((m_i - m_new) * sm_scale)
+        p_t = jnp.exp((s_t - m_new) * sm_scale)
+        l_new = l_i * alpha + jnp.sum(p_t, axis=0, keepdims=True)
+        vtb = vt_ref[0, :, pl.ds(i * block_k, block_k)]  # (d, block_k)
+        acc = acc * alpha + jax.lax.dot_general(
+            vtb, p_t.astype(vtb.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((d, blk_q), jnp.float32)
+    m0 = jnp.full((1, blk_q), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((1, blk_q), jnp.float32)
+    acc, m_i, l_i = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    ot_ref[0] = (acc / l_i).astype(ot_ref.dtype)
+    lse_ref[0] = m_i * sm_scale + jnp.log(l_i)  # (1, blk_q), scaled units
+
+
+# forward kernel orientation: "row" (scores (BLK_Q, block_k), o = p @ v) or
+# "pvt" (transposed pv, see _flash_kernel_pvt). Module default; the variants
+# bench (scripts/bench_attention_variants.py) measures both.
+_FWD_VARIANT = "row"
+
+
+def set_flash_forward_variant(name: str) -> None:
+    global _FWD_VARIANT
+    if name not in ("row", "pvt"):
+        raise ValueError(f"unknown flash forward variant {name!r}")
+    _FWD_VARIANT = name
 
 
 def _flash_forward(
@@ -131,6 +214,7 @@ def _flash_forward(
     block_k: int,
     interpret: bool,
     return_lse: bool = False,
+    variant: Optional[str] = None,
 ):
     """q, k, v: (B, H, N, D) -> (B, H, N, D) [, lse (B, H, N, 1)]."""
     b, h, n, d = q.shape
@@ -138,10 +222,40 @@ def _flash_forward(
     block_q = min(block_q, n)
     block_k = min(block_k, n)
     assert n % block_q == 0 and n % block_k == 0, "pad sequence to block multiple"
+    variant = variant or _FWD_VARIANT
 
     qf = q.reshape(b * h, n, d)
     kf = k.reshape(b * h, n, d)
     vf = v.reshape(b * h, n, d)
+
+    if variant == "pvt":
+        vt = jnp.swapaxes(vf, 1, 2)  # (b*h, d, n)
+        kernel = functools.partial(
+            _flash_kernel_pvt, block_k=block_k, seq_len=n, causal=causal,
+            sm_scale=sm_scale,
+        )
+        out_t, lse = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((b * h, d, n), q.dtype),
+                jax.ShapeDtypeStruct((b * h, 1, n), jnp.float32),
+            ),
+            grid=(b * h, n // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, d, block_q), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            ),
+            interpret=interpret,
+        )(qf, kf, vt)
+        out = jnp.swapaxes(out_t, 1, 2).reshape(b, h, n, d)
+        if return_lse:
+            return out, jnp.swapaxes(lse, 1, 2).reshape(b, h, n, 1)
+        return out
 
     kernel = functools.partial(
         _flash_kernel, block_k=block_k, seq_len=n, causal=causal, sm_scale=sm_scale

@@ -128,6 +128,76 @@ def test_flash_attention_causal():
     assert float(np.triu(np.asarray(w[0, 0]), 1).max()) == 0.0
 
 
+def test_flash_attention_pvt_variant_matches_row():
+    """Transposed-pv forward orientation: same outputs AND same lse (the
+    backward consumes lse, so the variants must be drop-in equivalent)."""
+    from dfot_tpu.ops.attention import _flash_forward
+
+    q, k, v = [
+        jax.random.normal(jax.random.PRNGKey(30 + i), (1, 2, 256, 64))
+        for i in range(3)
+    ]
+    for causal in (False, True):
+        o_row, lse_row = _flash_forward(
+            q, k, v, causal, 128, 128, True, return_lse=True, variant="row"
+        )
+        o_pvt, lse_pvt = _flash_forward(
+            q, k, v, causal, 128, 128, True, return_lse=True, variant="pvt"
+        )
+        np.testing.assert_allclose(
+            np.asarray(o_row), np.asarray(o_pvt), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(lse_row), np.asarray(lse_pvt), atol=1e-5
+        )
+        exact, _ = attention_with_weights(q, k, v, causal=causal)
+        assert float(jnp.abs(o_pvt - exact).max()) < 2e-2
+
+
+def test_flash_attention_pvt_backward_matches_dense():
+    """VJP through the pvt forward (its lse feeds the same backward kernels)."""
+    from dfot_tpu.ops import attention as A
+
+    q, k, v = [
+        jax.random.normal(jax.random.PRNGKey(40 + i), (1, 2, 256, 64))
+        for i in range(3)
+    ]
+    g = jax.random.normal(jax.random.PRNGKey(43), (1, 2, 256, 64))
+
+    def dense(q, k, v):
+        return attention_with_weights(q, k, v)[0]
+
+    def flash(q, k, v):
+        return flash_attention(q, k, v, False, 128, 128, True)
+
+    _, vjp_d = jax.vjp(dense, q, k, v)
+    A.set_flash_forward_variant("pvt")
+    try:
+        _, vjp_f = jax.vjp(flash, q, k, v)
+    finally:
+        A.set_flash_forward_variant("row")
+    for a, b_ in zip(vjp_d(g), vjp_f(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-2)
+
+
+def test_flash_attention_bf16_native_dots():
+    """bf16 inputs (the production dtype) stay within bf16-scale error of the
+    fp32 dense result through the native-dtype dots + bf16 p downcast."""
+    qf, kf, vf = [
+        jax.random.normal(jax.random.PRNGKey(50 + i), (1, 2, 256, 64))
+        for i in range(3)
+    ]
+    exact, _ = attention_with_weights(qf, kf, vf)
+    q, k, v = (a.astype(jnp.bfloat16) for a in (qf, kf, vf))
+    for variant in ("row", "pvt"):
+        from dfot_tpu.ops.attention import _flash_forward
+
+        out = _flash_forward(q, k, v, False, 128, 128, True, variant=variant)
+        assert out.dtype == jnp.bfloat16
+        err = float(jnp.abs(out.astype(jnp.float32) - exact).max())
+        assert err < 5e-2, (variant, err)
+
+
 # ---------------------------------------------------------------------------
 # DiT3D
 # ---------------------------------------------------------------------------
