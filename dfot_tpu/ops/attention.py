@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -193,9 +194,12 @@ def _flash_kernel_pvt(
 
 
 # forward kernel orientation: "row" (scores (BLK_Q, block_k), o = p @ v) or
-# "pvt" (transposed pv, see _flash_kernel_pvt). Module default; the variants
-# bench (scripts/bench_attention_variants.py) measures both.
-_FWD_VARIANT = "row"
+# "pvt" (transposed pv, see _flash_kernel_pvt). Module default, overridable
+# via DFOT_ATTN_FWD for on-chip A/B; the variants bench
+# (scripts/bench_attention_variants.py) measures both.
+_FWD_VARIANT = os.environ.get("DFOT_ATTN_FWD", "row")
+if _FWD_VARIANT not in ("row", "pvt"):
+    _FWD_VARIANT = "row"
 
 
 def set_flash_forward_variant(name: str) -> None:
