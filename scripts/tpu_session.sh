@@ -38,6 +38,8 @@ timeout 300 python scripts/recompute_floor.py traces/forward_b2_precond.json \
 log "stage 3: train trace b1 mid"
 timeout 2400 python scripts/profile_forward.py --train --batch 1 \
   --train-remat mid --summary-out traces/train_b1_mid.json
+timeout 300 python scripts/recompute_train_floor.py traces/train_b1_mid.json \
+  || true
 
 # 4. batch/remat sweep for the flagship train step (each new batch size is a
 #    fresh ~3-6 min remote compile; order cheapest-information-first)
