@@ -8,7 +8,8 @@ realestate10k_video_generation.yaml) — on three workloads, each emitting
 its own JSON line as soon as it completes:
 
 1. 8-frame quick-start (single image -> 8-frame video, vanilla HG;
-   reference README.md:72-74, "<1 min on 1 GPU" => baseline 0.133 fps).
+   reference README.md:72-74, "<1 min on 1 GPU" => baseline 7 generated
+   frames / 60 s ~= 0.117 fps, numerator matching ours).
 2. 200-frame rollout (keyframes at density 0.0625 + batched interpolation,
    50 DDIM steps; reference README.md:66-69, "~10 min on 1 GPU" =>
    baseline 0.333 fps). Run ONCE, with incremental partial JSON lines
@@ -92,12 +93,13 @@ def probe_backend(budget_sec: float) -> dict:
     attempt, last_err = 0, ""
     while True:
         attempt += 1
-        per_try = max(45.0, min(240.0, deadline - time.time()))
+        per_try = max(min(45.0, budget_sec), min(240.0, deadline - time.time()))
         t0 = time.time()
         try:
             r = subprocess.run(
                 [sys.executable, "-c",
                  "import jax; d = jax.devices(); "
+                 "assert jax.default_backend() != 'cpu', 'cpu fallback'; "
                  "print(jax.default_backend(), len(d))"],
                 capture_output=True, text=True, timeout=per_try,
             )

@@ -203,6 +203,14 @@ if _FWD_VARIANT not in ("row", "pvt"):
 
 
 def set_flash_forward_variant(name: str) -> None:
+    """Switch the default forward orientation for SUBSEQUENT traces.
+
+    Like _CAPTURE_ATTENTION, this is read at trace time: functions already
+    jit-compiled keep the orientation they were traced with (jit cache keys
+    do not include module globals). Set it before building jitted callables
+    (or use DFOT_ATTN_FWD before process start); for an in-process A/B,
+    construct separate jitted functions after each switch.
+    """
     global _FWD_VARIANT
     if name not in ("row", "pvt"):
         raise ValueError(f"unknown flash forward variant {name!r}")

@@ -29,6 +29,10 @@ __all__ = [
     "adopt_weight",
     "vae_generator_loss",
     "vae_discriminator_loss",
+    "calculate_adaptive_weight",
+    "decoder_last_kernel_path",
+    "tree_get",
+    "tree_set",
 ]
 
 _VGG_SLICES = ((2, 64), (2, 128), (3, 256), (3, 512), (3, 512))
@@ -164,10 +168,13 @@ def decoder_last_kernel_path(params) -> Tuple[str, ...]:
     leaf.
     """
 
+    from collections.abc import Mapping
+
     def find(tree, path):
-        if isinstance(tree, dict):
+        # Mapping (not dict): flax FrozenDict trees must recurse too
+        if isinstance(tree, Mapping):
             k = tree.get("kernel")
-            if k is not None and not isinstance(k, dict):
+            if k is not None and not isinstance(k, Mapping):
                 return path + ("kernel",)
             for key in tree:
                 r = find(tree[key], path + (key,))

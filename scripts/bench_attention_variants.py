@@ -199,9 +199,10 @@ def main():
                     continue
                 finally:
                     A._FWD_VARIANT = "row"
-                # fwd (recomputed scores count once here) + dq + dkv dots:
-                # 2.5x forward MAC pairs is the standard flash-bwd accounting
-                tfs = 3.5 * fwd_flops / sec / 1e12
+                # the timed jax.vjp executes the primal forward (2 dots) plus
+                # the dq kernel (3) and dkv kernel (4): 9 dots = 4.5x the
+                # forward's FLOPs — same accounting as recompute_train_floor
+                tfs = 4.5 * fwd_flops / sec / 1e12
                 rows.append({
                     "shape": [b, h, n, d], "variant": f"vjp_{variant}",
                     "ms": round(sec * 1e3, 3),

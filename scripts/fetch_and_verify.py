@@ -180,7 +180,7 @@ def make_fixtures(out_dir: str, kinds) -> None:
 # step 2: registry fail-fast load + tiny-forward smoke per model
 # ---------------------------------------------------------------------------
 
-def verify_registry(weights_dir: str, kinds) -> dict:
+def verify_registry(weights_dir: str, kinds) -> tuple:
     import jax.numpy as jnp
 
     from dfot_tpu.metrics.registry import SharedMetricModelRegistry
