@@ -227,10 +227,12 @@ def _flash_forward(
     interpret: bool,
     return_lse: bool = False,
     variant: Optional[str] = None,
+    sm_scale: Optional[float] = None,
 ):
     """q, k, v: (B, H, N, D) -> (B, H, N, D) [, lse (B, H, N, 1)]."""
     b, h, n, d = q.shape
-    sm_scale = 1.0 / math.sqrt(d)
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
     block_q = min(block_q, n)
     block_k = min(block_k, n)
     assert n % block_q == 0 and n % block_k == 0, "pad sequence to block multiple"
@@ -512,9 +514,11 @@ def _flash_bwd_dkv_kernel(
     )
 
 
-def _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k, interpret):
+def _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k, interpret,
+                    sm_scale=None):
     b, h, n, d = q.shape
-    sm_scale = 1.0 / math.sqrt(d)
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
     # the backward holds more live f32 tiles (s, p, dp, ds) than the forward;
     # cap blocks harder so long sequences stay inside scoped VMEM
     cap = 512 if n <= 4096 else 256
@@ -644,7 +648,7 @@ def _xla_attention(q, k, v, causal):
     ).swapaxes(1, 2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -653,21 +657,34 @@ def flash_attention(
     block_q: int = 256,
     block_k: int = 256,
     interpret: bool = False,
+    sm_scale: Optional[float] = None,
 ) -> jax.Array:
-    """Pallas flash attention, (B, H, N, D) layout, differentiable."""
-    return _flash_forward(q, k, v, causal, block_q, block_k, interpret)
+    """Pallas flash attention, (B, H, N, D) layout, differentiable.
+
+    ``sm_scale`` defaults to 1/sqrt(D); pass it explicitly when D is a
+    LANE-PADDED head dim (e.g. 72 -> 128 for DiT/XL) so the softmax keeps
+    the model's true scale — zero pad columns are inert through every dot
+    in both directions.
+    """
+    return _flash_forward(
+        q, k, v, causal, block_q, block_k, interpret, sm_scale=sm_scale
+    )
 
 
-def _flash_fwd(q, k, v, causal, block_q, block_k, interpret):
+def _flash_fwd(q, k, v, causal, block_q, block_k, interpret, sm_scale):
     out, lse = _flash_forward(
-        q, k, v, causal, block_q, block_k, interpret, return_lse=True
+        q, k, v, causal, block_q, block_k, interpret, return_lse=True,
+        sm_scale=sm_scale,
     )
     return out, (q, k, v, out, lse)
 
 
-def _flash_bwd(causal, block_q, block_k, interpret, res, g):
+def _flash_bwd(causal, block_q, block_k, interpret, sm_scale, res, g):
     q, k, v, out, lse = res
-    return _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k, interpret)
+    return _flash_backward(
+        q, k, v, out, lse, g, causal, block_q, block_k, interpret,
+        sm_scale=sm_scale,
+    )
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
@@ -775,6 +792,31 @@ def _blocks_ok(n: int, d: int) -> bool:
     return d % 64 == 0 and _pick_block(n) >= 128 and n >= 512
 
 
+def _padded_flash(q, k, v, causal, interpret=False):
+    """Flash attention for head dims that are NOT 64-multiples (e.g. the
+    K600 @DiT/XL recipe: hidden 1152 / 16 heads -> d = 72).
+
+    Lane-pads D to the next multiple of 64, runs the kernels with the TRUE
+    softmax scale (1/sqrt(d), not 1/sqrt(d_padded)), and slices back. Zero
+    pad columns are inert through every dot in both directions (the padded
+    columns of dq/dk/dv come out exactly zero), and JAX transposes the
+    pad/slice pair automatically, so the composite is differentiable
+    end-to-end. Without this, d=72 models fell back to XLA attention whose
+    VJP materializes the (B, H, N, N) scores — at the XL latent recipe's
+    n=1280, B=8 that is ~0.8 GB of score traffic per layer per step.
+    """
+    d = q.shape[-1]
+    pad = -d % 64
+    qp, kp, vp = (
+        jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, pad))) for a in (q, k, v)
+    )
+    bq, bk = _pick_blocks(q.shape[-2])
+    out = flash_attention(
+        qp, kp, vp, causal, bq, bk, interpret, 1.0 / math.sqrt(d)
+    )
+    return out[..., :d]
+
+
 def attention(
     q: jax.Array,
     k: jax.Array,
@@ -784,8 +826,9 @@ def attention(
 ) -> jax.Array:
     """Attention dispatcher, (B, H, N, D) layout.
 
-    Uses the Pallas kernel on TPU when shapes are tile-aligned, otherwise the
-    fused XLA path (which is also what CPU tests exercise).
+    Uses the Pallas kernel on TPU when shapes are tile-aligned (lane-padding
+    non-64-multiple head dims), otherwise the fused XLA path (which is also
+    what CPU tests exercise).
     """
     n, d = q.shape[-2], q.shape[-1]
     on_tpu = jax.default_backend() == "tpu"
@@ -806,6 +849,13 @@ def attention(
     if use_pallas:
         bq, bk = _pick_blocks(n)
         return flash_attention(q, k, v, causal, bq, bk)
+    if (
+        force_pallas is None
+        and on_tpu
+        and d % 64 != 0
+        and _blocks_ok(n, d + (-d % 64))
+    ):
+        return _padded_flash(q, k, v, causal)
     return _xla_attention(q, k, v, causal)
 
 

@@ -180,6 +180,40 @@ def test_flash_attention_pvt_backward_matches_dense():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-2)
 
 
+def test_flash_attention_padded_head_dim():
+    """d=72 (the K600 @DiT/XL head dim) through the lane-padded flash path:
+    forward and VJP must match dense attention with the true 1/sqrt(72)
+    scale — zero pad columns must be inert in both directions."""
+    from dfot_tpu.ops.attention import _padded_flash
+
+    q, k, v = [
+        jax.random.normal(jax.random.PRNGKey(60 + i), (1, 2, 256, 72))
+        for i in range(3)
+    ]
+    g = jax.random.normal(jax.random.PRNGKey(63), (1, 2, 256, 72))
+
+    def dense(q, k, v):
+        return attention_with_weights(q, k, v)[0]
+
+    for variant in ("row", "pvt"):
+        from dfot_tpu.ops import attention as A
+
+        A.set_flash_forward_variant(variant)
+        try:
+            out, vjp_f = jax.vjp(
+                lambda q, k, v: _padded_flash(q, k, v, False, interpret=True),
+                q, k, v,
+            )
+        finally:
+            A.set_flash_forward_variant("row")
+        ref, vjp_d = jax.vjp(dense, q, k, v)
+        assert float(jnp.abs(out - ref).max()) < 2e-2, variant
+        for a, b_ in zip(vjp_d(g), vjp_f(g)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=2e-2, err_msg=variant
+            )
+
+
 def test_flash_attention_bf16_native_dots():
     """bf16 inputs (the production dtype) stay within bf16-scale error of the
     fp32 dense result through the native-dtype dots + bf16 p downcast."""
