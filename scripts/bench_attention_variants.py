@@ -46,12 +46,20 @@ from dfot_tpu.ops import attention as A
 
 V5E_PEAK = 197e12
 
-# flagship UViT3DPose transformer levels at 256px/T=8 (patch 2, levels 2-3:
-# 32x32 and 16x16 spatial), B=2 = the NFE-expanded sampling batch
+# flagship UViT3DPose transformer levels at 256px/T=8 (patch 2), B=2 = the
+# NFE-expanded sampling batch. Level 2 (576 ch / 9 heads): n=8192, d=64 —
+# the 50%-capped case pvt targets. Mid (1152 ch / 9 heads): n=2048, d=128 —
+# full MXU width already, pvt should be ~neutral there.
 SHAPES = [
     (2, 9, 8192, 64),
-    (2, 9, 2048, 64),
+    (2, 9, 2048, 128),
     (1, 9, 8192, 64),
+]
+
+# K600 @DiT/XL latent recipe (hidden 1152 / 16 heads -> d=72, n=5*16*16) at
+# the recipe batch: exercises the lane-padded flash path vs the XLA fallback
+PADDED_SHAPES = [
+    (8, 16, 1280, 72),
 ]
 
 
@@ -211,6 +219,31 @@ def main():
                 })
                 print(f"({b},{h},{n},{d}) vjp_{variant:8s} {sec*1e3:8.3f} ms "
                       f"{tfs:6.1f} TF/s(fwd+bwd)", flush=True)
+
+    # padded-head-dim path (d=72) vs the XLA fallback it replaces
+    for (b, h, n, d) in ([] if args.tiny else PADDED_SHAPES):
+        ks = jax.random.split(jax.random.PRNGKey(1), 3)
+        q, k, v = (jax.random.normal(r, (b, h, n, d), jnp.float32).astype(dtype)
+                   for r in ks)
+        fwd_flops = 4.0 * b * h * n * n * d
+        pcases = {
+            "padded_row": jax.jit(lambda q, k, v: A._padded_flash(
+                q, k, v, False)),
+            "xla": jax.jit(lambda q, k, v: A._xla_attention(q, k, v, False)),
+        }
+        for name, fn in pcases.items():
+            try:
+                sec = time_fn(fn, (q, k, v), args.reps)
+            except Exception as e:  # noqa: BLE001
+                rows.append({"shape": [b, h, n, d], "variant": name,
+                             "error": repr(e)[:160]})
+                continue
+            tfs = fwd_flops / sec / 1e12
+            rows.append({"shape": [b, h, n, d], "variant": name,
+                         "ms": round(sec * 1e3, 3),
+                         "tflops_per_sec": round(tfs, 1)})
+            print(f"({b},{h},{n},{d}) {name:12s} {sec*1e3:8.3f} ms "
+                  f"{tfs:6.1f} TF/s", flush=True)
 
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)

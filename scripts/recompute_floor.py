@@ -12,13 +12,17 @@ re-derives the floor with attention promoted to its structural cap.
 
 Attention FLOPs (flagship UViT3DPose, realestate10k_video_generation.yaml:
 channels (128,256,576,1152), updown (3,3,6), 20 mid blocks, patch 2,
-256px x 8 frames):
-  level-3: 12 layers x 4*S^2*d_model, S = 8*32*32 = 8192 tokens, d = 576
-  mid:     20 layers x 4*S^2*d_model, S = 8*16*16 = 2048 tokens, d = 1152
+256px x 8 frames, num_heads 9):
+  level-2: 12 layers x 4*S^2*d_model, S = 8*32*32 = 8192 tokens,
+           d_model = 576 -> HEAD dim 64
+  mid:     20 layers x 4*S^2*d_model, S = 8*16*16 = 2048 tokens,
+           d_model = 1152 -> HEAD dim 128
 (4*S^2*d = qk + pv, multiply-add = 2 FLOPs.)
 
-The structural cap: head dim 64 halves both the qk contraction depth and
-the pv output width on the 128x128 MXU -> ~50% of the 197 TF/s v5e peak.
+Structural caps are PER HEAD DIM: d=64 heads halve the qk contraction depth
+on the 128x128 MXU, and in the row orientation also the pv output width ->
+~98 TF/s (the pvt orientation lifts pv to full width -> ~131); d=128 heads
+fill the MXU in both dots -> the 197 TF/s peak is the cap.
 """
 
 from __future__ import annotations
@@ -28,11 +32,11 @@ import json
 import sys
 
 V5E_PEAK_TFS = 197.0
-ATTN_CAP_TFS = 98.0  # d=64 structural cap (~50% of peak)
+ATTN_CAP_TFS = 98.0  # d=64 row-orientation cap (~50% of peak); pvt: ~131
 
 # flagship attention FLOPs per single forward (B=1), see module docstring
-LEVEL3 = 12 * 4 * (8 * 32 * 32) ** 2 * 576
-MID = 20 * 4 * (8 * 16 * 16) ** 2 * 1152
+LEVEL3 = 12 * 4 * (8 * 32 * 32) ** 2 * 576   # d=64 heads
+MID = 20 * 4 * (8 * 16 * 16) ** 2 * 1152     # d=128 heads
 ATTN_FLOPS = LEVEL3 + MID  # ~2.24e12
 
 # trace-op classification: pallas flash kernels surface as custom-calls /
@@ -50,7 +54,11 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("summary", help="trace summary JSON from "
                     "profile_forward.py --summary-out")
-    ap.add_argument("--attn-cap-tfs", type=float, default=ATTN_CAP_TFS)
+    ap.add_argument("--attn-cap-tfs", type=float, default=ATTN_CAP_TFS,
+                    help="structural cap for the d=64-head attention "
+                    "(level-2): 98 row orientation, ~131 pvt")
+    ap.add_argument("--cap-d128-tfs", type=float, default=V5E_PEAK_TFS,
+                    help="structural cap for the d=128-head attention (mid)")
     ap.add_argument("--host-overhead-sec", type=float, default=0.7,
                     help="measured host share of one rollout (bench.py "
                     "interp_host_build_sec)")
@@ -76,7 +84,11 @@ def main():
 
     batch = s.get("batch", 1)
     attn_tfs = ATTN_FLOPS * batch / (attn_ms * 1e-3) / 1e12 if attn_ms else 0.0
-    attn_ms_at_cap = ATTN_FLOPS * batch / (args.attn_cap_tfs * 1e12) * 1e3
+    # per-head-dim caps: level-2 (d=64) at the kernel cap, mid (d=128) at peak
+    attn_ms_at_cap = batch * (
+        LEVEL3 / (args.attn_cap_tfs * 1e12)
+        + MID / (args.cap_d128_tfs * 1e12)
+    ) * 1e3
     floor_ms = other_ms + attn_ms_at_cap
     floor_ms_per_eval = floor_ms / batch
 
@@ -92,7 +104,8 @@ def main():
         "attention_ms": round(attn_ms, 2),
         "attention_ops_found": len(attn_ops),
         "attention_achieved_tfs": round(attn_tfs, 1),
-        "attention_cap_tfs": args.attn_cap_tfs,
+        "attention_cap_tfs_d64": args.attn_cap_tfs,
+        "attention_cap_tfs_d128": args.cap_d128_tfs,
         "attention_ms_at_cap": round(attn_ms_at_cap, 2),
         "other_ms": round(other_ms, 2),
         "forward_floor_ms_per_eval": round(floor_ms_per_eval, 2),
@@ -108,8 +121,10 @@ def main():
 
     vs3x = floor_fps / BASELINE_FPS
     print(
-        f"\nConclusion: with attention promoted to its {args.attn_cap_tfs:.0f}"
-        f" TF/s d=64 structural cap and every other op at its measured rate,"
+        f"\nConclusion: with d=64-head attention promoted to its"
+        f" {args.attn_cap_tfs:.0f} TF/s structural cap (d=128-head mid"
+        f" attention to {args.cap_d128_tfs:.0f}) and every other op at its"
+        f" measured rate,"
         f" the rollout floor is {floor_fps:.3f} fps = {vs3x:.2f}x the A100"
         f" baseline. The >=3x north star is"
         f" {'reachable' if vs3x >= 3.0 else 'NOT reachable'} for exact-parity"

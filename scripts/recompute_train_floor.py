@@ -27,7 +27,9 @@ import json
 
 V5E_PEAK_TFS = 197.0
 
-# flagship per-forward attention FLOPs (B=1) — see recompute_floor.py
+# flagship per-forward attention FLOPs (B=1) — see recompute_floor.py.
+# LEVEL3 runs with d=64 heads (576 ch / 9), MID with d=128 (1152 / 9): their
+# structural caps differ (d=64: ~98 row / ~131 pvt; d=128: the 197 peak)
 LEVEL3 = 12 * 4 * (8 * 32 * 32) ** 2 * 576
 MID = 20 * 4 * (8 * 16 * 16) ** 2 * 1152
 ATTN_FWD = LEVEL3 + MID
@@ -47,9 +49,11 @@ def main():
     ap.add_argument("summary", help="trace summary JSON from "
                     "profile_forward.py --train --summary-out")
     ap.add_argument("--attn-cap-tfs", type=float, default=98.0,
-                    help="structural attention cap (d=64 row orientation: "
-                    "~98; pvt pv-side packing raises the fwd kernel's cap "
-                    "to ~131)")
+                    help="structural cap for the d=64-head attention "
+                    "(d=64 row orientation: ~98; pvt pv-side packing "
+                    "raises the fwd kernel's cap to ~131)")
+    ap.add_argument("--cap-d128-tfs", type=float, default=V5E_PEAK_TFS,
+                    help="structural cap for the d=128-head mid attention")
     ap.add_argument("--remat", choices=("none", "mid", "all"), default="mid")
     ap.add_argument("--flops-per-fwd", type=float, default=FLOPS_PER_FWD)
     args = ap.parse_args()
@@ -68,10 +72,17 @@ def main():
     total_ms = s["traced_device_ms_per_step"]
     other_ms = total_ms - attn_ms
 
-    remat_extra = {"none": 0.0, "mid": MID, "all": ATTN_FWD}[args.remat]
-    attn_exec_flops = B * (ATTN_FWD * (1.0 + 3.5) + remat_extra)
+    remat_l3, remat_mid = {
+        "none": (0.0, 0.0), "mid": (0.0, MID), "all": (LEVEL3, MID),
+    }[args.remat]
+    exec_l3 = B * (LEVEL3 * 4.5 + remat_l3)
+    exec_mid = B * (MID * 4.5 + remat_mid)
+    attn_exec_flops = exec_l3 + exec_mid
     attn_tfs = attn_exec_flops / (attn_ms * 1e-3) / 1e12 if attn_ms else 0.0
-    attn_ms_at_cap = attn_exec_flops / (args.attn_cap_tfs * 1e12) * 1e3
+    attn_ms_at_cap = (
+        exec_l3 / (args.attn_cap_tfs * 1e12)
+        + exec_mid / (args.cap_d128_tfs * 1e12)
+    ) * 1e3
 
     floor_ms = other_ms + attn_ms_at_cap
     model_flops = 3.0 * args.flops_per_fwd * B
