@@ -699,9 +699,9 @@ def _small_n_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     attention (N = 8 frames, tens of thousands of independent items) this
     kernel is ~25% faster end-to-end on v5e and the op is ~1/3 of the
     flagship forward's attention time."""
-    q = q_ref[...].astype(jnp.float32)   # (G, N, D)
-    k = k_ref[...].astype(jnp.float32)
-    v = v_ref[...].astype(jnp.float32)
+    q = q_ref[...]   # (G, N, D), native dtype — f32 pre-casting forces
+    k = k_ref[...]   # multi-pass fp32 MXU dots (see module docstring)
+    v = v_ref[...]
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ) * scale
@@ -709,7 +709,8 @@ def _small_n_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     p = jnp.exp(s)
     p = p / p.sum(axis=-1, keepdims=True)
     o = jax.lax.dot_general(
-        p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
     )
     o_ref[...] = o.astype(o_ref.dtype)
 
