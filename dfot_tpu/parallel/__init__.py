@@ -5,6 +5,7 @@ from .mesh import (
     replicated,
     shard_batch,
     shard_params,
+    tp_param_sharding_rule,
 )
 from .multihost import (
     barrier,

@@ -300,3 +300,70 @@ def test_dit_remat_policy_gradients_match():
             ),
             grads, ref_grads,
         )
+
+
+def test_tp_param_sharding_rule():
+    from jax.sharding import PartitionSpec as P
+
+    from dfot_tpu.parallel import tp_param_sharding_rule as tp
+
+    # column-parallel: qkv / mlp-in kernels shard the OUTPUT dim
+    assert tp("dit/block_0/attn/qkv/kernel", (32, 96), 2) == P(None, "tensor")
+    assert tp("trunk/b0/fused_proj/kernel", (64, 448), 2) == P(None, "tensor")
+    assert tp("dit/block_0/mlp/fc1/kernel", (32, 128), 4) == P(None, "tensor")
+    # ...and their biases
+    assert tp("dit/block_0/attn/qkv/bias", (96,), 2) == P("tensor")
+    # row-parallel: attention-out / mlp-out kernels shard the INPUT dim
+    assert tp("dit/block_0/attn/proj/kernel", (32, 32), 2) == P("tensor", None)
+    assert tp("dit/block_0/mlp/fc2/kernel", (128, 32), 2) == P("tensor", None)
+    assert tp("trunk/b0/mlp_out/kernel", (128, 64), 2) == P("tensor", None)
+    # row-parallel biases stay replicated
+    assert tp("dit/block_0/mlp/fc2/bias", (32,), 2) is None
+    # UViT's temporal_attn "proj" is a QKV (column), unlike DiT's "proj"
+    assert tp("b/temporal_attn/proj/kernel", (64, 192), 2) == P(None, "tensor")
+    # indivisible or tp=1 -> no TP spec
+    assert tp("dit/block_0/attn/qkv/kernel", (32, 96), 5) is None
+    assert tp("dit/block_0/attn/qkv/kernel", (32, 96), 1) is None
+    assert tp("dit/final_layer/proj/kernel", (31, 31), 2) is None
+
+
+def test_train_step_on_tp_mesh_matches_single_device(cpu_mesh_devices):
+    """(data=2, fsdp=2, tensor=2) mesh: TP specs are layout, not math — the
+    train step must reproduce the single-device loss, and the qkv/mlp kernels
+    must actually carry 'tensor' in their committed shardings."""
+    model_apply, params, dcfg, sched, nl_cfg = _tiny_setup()
+    tx = make_optimizer(lr=1e-3, num_warmup_steps=0, lr_schedule_name="constant")
+    step = make_train_step(model_apply, dcfg, sched, nl_cfg)
+    batch_np = {
+        "xs": np.random.RandomState(0).randn(4, 2, 4, 4, 1).astype(np.float32),
+        "masks": np.ones((4, 2), bool),
+    }
+    rng = jax.random.PRNGKey(7)
+
+    # single device reference (deep copy: train_step donates its state and
+    # jnp.asarray aliases, which would delete `params` out from under the
+    # mesh run below)
+    state0 = create_train_state(
+        jax.tree_util.tree_map(lambda a: jnp.array(np.asarray(a)), params),
+        tx, use_ema=True,
+    )
+    _, m0 = step(state0, jax.tree_util.tree_map(jnp.asarray, batch_np), rng)
+    ref_loss = float(m0["loss"])
+
+    mesh = make_mesh((2, 2, 2))
+    with mesh:
+        p_sh = shard_params(params, mesh, min_size=64)
+        # at least one kernel must be tensor-sharded (qkv (32,96) divides)
+        tp_axes = [
+            sh.spec
+            for sh in jax.tree_util.tree_leaves(
+                p_sh, is_leaf=lambda x: hasattr(x, "spec")
+            )
+            if "tensor" in tuple(sh.spec)
+        ]
+        assert tp_axes, "no parameter got a tensor-parallel spec"
+        params_s = jax.tree_util.tree_map(jax.device_put, params, p_sh)
+        state = create_train_state(params_s, tx, use_ema=True)
+        state, m = step(state, shard_batch(batch_np, mesh), rng)
+        assert int(state.step) == 1
+        np.testing.assert_allclose(float(m["loss"]), ref_loss, rtol=2e-5)
