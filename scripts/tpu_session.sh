@@ -17,11 +17,14 @@ log() { echo "=== [$(date +%H:%M:%S)] $*"; }
 
 # 0. wait for the backend (subprocess probes, same pattern as bench.py)
 log "probing TPU backend"
-for i in $(seq 1 60); do
+# probe all day: the tunnel has wedged for multi-hour stretches (r3/r4);
+# one launch must survive that and still capture the session when it ends
+for i in $(seq 1 330); do
   if timeout 150 python -c "import jax; assert jax.devices()[0].platform != 'cpu'" 2>/dev/null; then
     log "TPU up (probe $i)"; break
   fi
-  [ "$i" = 60 ] && { log "TPU never came up; aborting"; exit 1; }
+  [ "$i" = 330 ] && { log "TPU never came up; aborting"; exit 1; }
+  [ $((i % 10)) = 0 ] && log "still down (probe $i)"
   sleep 120
 done
 
