@@ -818,6 +818,25 @@ def _padded_flash(q, k, v, causal, interpret=False):
     return out[..., :d]
 
 
+# sequence-parallel context: when set (mesh, axis_name), eligible non-causal
+# attention calls route through ring attention with the token axis sharded
+# over that mesh axis (ops/ring_attention.py). Read at TRACE time, like
+# _FWD_VARIANT.
+_SEQUENCE_PARALLEL: Optional[tuple] = None
+
+
+def set_sequence_parallel(mesh, axis_name: str = "tensor") -> None:
+    """Route big non-causal attentions through ring attention over one mesh
+    axis for SUBSEQUENT traces (pass mesh=None to disable)."""
+    global _SEQUENCE_PARALLEL
+    if mesh is None:
+        _SEQUENCE_PARALLEL = None
+        return
+    if axis_name not in mesh.shape:
+        raise ValueError(f"mesh has no axis {axis_name!r}: {dict(mesh.shape)}")
+    _SEQUENCE_PARALLEL = (mesh, axis_name)
+
+
 def attention(
     q: jax.Array,
     k: jax.Array,
@@ -832,6 +851,14 @@ def attention(
     what CPU tests exercise).
     """
     n, d = q.shape[-2], q.shape[-1]
+    if _SEQUENCE_PARALLEL is not None and not causal:
+        mesh, axis = _SEQUENCE_PARALLEL
+        size = mesh.shape[axis]
+        # ring only pays when each device holds a sizeable Q block
+        if size > 1 and n % size == 0 and n // size >= 128:
+            from .ring_attention import sequence_parallel_attention
+
+            return sequence_parallel_attention(q, k, v, mesh, axis_name=axis)
     on_tpu = jax.default_backend() == "tpu"
     if (
         force_pallas is None

@@ -69,3 +69,52 @@ def test_ring_attention_bf16_inputs(cpu_mesh_devices):
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_attention_dispatcher_routes_through_sequence_parallel(cpu_mesh_devices):
+    """set_sequence_parallel: eligible non-causal calls ring-route and still
+    match dense; causal and too-small calls do not route."""
+    import dfot_tpu.ops.ring_attention as ra
+    from dfot_tpu.ops import attention as att_mod
+
+    rng = np.random.RandomState(2)
+    q, k, v = (jnp.asarray(rng.randn(1, 2, 1024, 8).astype(np.float32))
+               for _ in range(3))
+    ref = _xla_attention(q, k, v, causal=False)
+
+    calls = []
+    orig = ra.sequence_parallel_attention
+
+    def spy(*a, **kw):
+        calls.append(kw.get("axis_name"))
+        return orig(*a, **kw)
+
+    mesh = make_mesh((2, 1, 4))
+    att_mod.set_sequence_parallel(mesh, "tensor")
+    try:
+        ra.sequence_parallel_attention = spy
+        out = att_mod.attention(q, k, v, causal=False)
+        assert calls == ["tensor"]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-6)
+        # causal: not routed
+        att_mod.attention(q[:, :, :256], k[:, :, :256], v[:, :, :256], causal=True)
+        # too small per-device Q block: not routed
+        att_mod.attention(q[:, :, :256], k[:, :, :256], v[:, :, :256])
+        assert calls == ["tensor"]
+    finally:
+        ra.sequence_parallel_attention = orig
+        att_mod.set_sequence_parallel(None)
+    # disabled again: plain path
+    out2 = att_mod.attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_set_sequence_parallel_rejects_unknown_axis(cpu_mesh_devices):
+    from dfot_tpu.ops import attention as att_mod
+
+    mesh = make_mesh((8, 1))
+    with pytest.raises(ValueError, match="no axis"):
+        att_mod.set_sequence_parallel(mesh, "tensor")
+    att_mod.set_sequence_parallel(None)
