@@ -232,7 +232,8 @@ def bench_forward(model, variables, res, T, pose_dim):
 
 
 def bench_train(model_spec_args, variables, res, T, pose_dim, dcfg, sched,
-                flops_per_fwd, batch: int = 1, remat=True, remat_policy=None):
+                flops_per_fwd, batch: int = 1, remat=True, remat_policy=None,
+                rng_impl: str = "threefry2x32"):
     """One jitted train step on the flagship (B=1, remat, AdamW + EMA).
 
     BASELINE configs 4-5 are training recipes with no published steps/sec;
@@ -252,10 +253,13 @@ def bench_train(model_spec_args, variables, res, T, pose_dim, dcfg, sched,
     model, _, _, _, _ = build_flagship(tiny, remat=remat, remat_policy=remat_policy)
 
     # f32 master params (values irrelevant for throughput): re-materialize
-    # from the bf16 inference weights rather than holding a second init
+    # from the bf16 inference weights rather than holding a second init.
+    # jnp.array COPIES even at same dtype — the train state is donated, and
+    # aliasing the caller's `variables` would delete them out from under the
+    # next variant in a sweep (scripts/bench_train_variants.py)
     params = jax.tree_util.tree_map(
-        lambda a: a.astype(jnp.float32)
-        if isinstance(a, jax.Array) and a.dtype == jnp.bfloat16
+        lambda a: jnp.array(a, jnp.float32)
+        if isinstance(a, jax.Array) and a.dtype in (jnp.bfloat16, jnp.float32)
         else a,
         variables,
     )
@@ -283,7 +287,12 @@ def bench_train(model_spec_args, variables, res, T, pose_dim, dcfg, sched,
         "conditions": jnp.zeros((B, T, res, res, pose_dim), jnp.bfloat16),
         "masks": jnp.ones((B, T), bool),
     }
-    rngs = jax.random.split(jax.random.PRNGKey(0), 4)
+    # rng_impl="rbg" measures the dropout/noise RNG cost: threefry is
+    # VPU-heavy on TPU (and replayed inside remat); rbg uses the hardware
+    # bit generator. Implementation detail, not a math-parity change (the
+    # reference's torch RNG is a third stream entirely).
+    key = jax.random.key(0, impl=rng_impl)
+    rngs = jax.random.split(key, 4)
     state, m = train_step(state, batch, rngs[0])  # compile + first step
     jax.block_until_ready(m["loss"])
     t0 = time.perf_counter()
@@ -309,6 +318,7 @@ def bench_train(model_spec_args, variables, res, T, pose_dim, dcfg, sched,
         "train_tokens_per_sec": round(B * T / step_sec, 2),
         "remat": list(remat) if isinstance(remat, (tuple, list)) else remat,
         "remat_policy": remat_policy or "none",
+        **({"rng_impl": rng_impl} if rng_impl != "threefry2x32" else {}),
         "baseline_note": "A100 torch @35% MFU roofline (no published ref steps/sec)",
     }
 

@@ -2,11 +2,12 @@
 
 Runs bench.bench_train for each requested remat pattern on the full 467M
 flagship, sharing one forward compile for the FLOPs accounting. Spec syntax
-NAME[+POLICY][:bN] — NAME in {mid, none, all}, POLICY in
+NAME[+POLICY][+rbg][:bN] — NAME in {mid, none, all}, POLICY in
 {dots, attn, dots_attn} (jax.checkpoint saveable policy, models/remat.py),
-bN = batch size. Usage:
+rbg = hardware-bit-generator RNG for the dropout/noise draws (threefry cost
+probe), bN = batch size. Usage:
 
-    python scripts/bench_train_variants.py mid none all mid+dots mid+dots:b2
+    python scripts/bench_train_variants.py mid none all mid+dots mid+dots:b2 mid+rbg
 """
 
 import os
@@ -42,13 +43,15 @@ def main():
         try:
             name, _, bpart = spec.partition(":")
             if bpart and not bpart.startswith("b"):
-                raise ValueError(f"bad spec {spec!r}: want NAME[+POLICY][:bN]")
+                raise ValueError(f"bad spec {spec!r}: want NAME[+POLICY][+rbg][:bN]")
             batch = int(bpart[1:]) if bpart else 1
-            name, _, policy = name.partition("+")
+            name, *mods = name.split("+")
+            rng_impl = "rbg" if "rbg" in mods else "threefry2x32"
+            policy = next((m for m in mods if m != "rbg"), "")
             line = bench.bench_train(
                 {"tiny": False}, variables, res, T, pose_dim, dcfg, sched,
                 flops_per_fwd, batch=batch, remat=patterns[name],
-                remat_policy=policy or None,
+                remat_policy=policy or None, rng_impl=rng_impl,
             )
             bench.emit({"variant": spec, **line})
         except Exception as e:  # noqa: BLE001 — keep timing the rest
