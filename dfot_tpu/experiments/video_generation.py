@@ -160,12 +160,29 @@ class VideoGenerationExperiment:
 
         loader = make_loader(0)
 
-        # data axis must divide the global batch; spare devices go to fsdp
+        # data axis must divide the global batch; spare devices go to fsdp.
+        # experiment.training.mesh.tensor > 1 reserves a tensor-parallel axis
+        # (Megatron specs in parallel/mesh.py); mesh.sequence_parallel routes
+        # big attentions through ring attention over that axis.
         import math
 
+        mesh_cfg = tcfg.get("mesh", {}) or {}
+        tp = int(mesh_cfg.get("tensor", 1) or 1)
         ndev = len(jax.devices())
-        data_axis = math.gcd(tcfg.batch_size, ndev)
-        mesh = make_mesh((data_axis, ndev // data_axis))
+        if ndev % tp != 0:
+            raise ValueError(
+                f"mesh.tensor={tp} does not divide {ndev} devices"
+            )
+        avail = ndev // tp
+        data_axis = math.gcd(tcfg.batch_size, avail)
+        shape = (data_axis, avail // data_axis) + ((tp,) if tp > 1 else ())
+        mesh = self.mesh = make_mesh(shape)
+        if mesh_cfg.get("sequence_parallel", False):
+            from ..ops.attention import set_sequence_parallel
+
+            if tp <= 1:
+                raise ValueError("mesh.sequence_parallel needs mesh.tensor > 1")
+            set_sequence_parallel(mesh, "tensor")
         rng = jax.random.PRNGKey(tcfg.get("manual_seed", 0))
         rng, r_init = jax.random.split(rng)
         state = algo.make_train_state(

@@ -145,3 +145,27 @@ def test_load_by_run_id_and_name(trained_run, tmp_path):
     with open(os.path.join(exp.output_dir, "metrics.jsonl")) as f:
         lines = [json.loads(l) for l in f]
     assert any("prediction/mse" in k for l in lines for k in l)
+
+
+def test_training_with_tensor_parallel_mesh(tmp_path):
+    """CLI training with experiment.training.mesh.tensor=2 (+ ring-attention
+    routing enabled) builds a (data, fsdp, tensor) mesh and trains; the tiny
+    attentions fall below the ring threshold, so sequence_parallel here
+    certifies the config path, not the routing itself."""
+    import main as cli
+
+    from dfot_tpu.ops import attention as att_mod
+
+    overrides = TINY_OVERRIDES + [
+        f"output_dir={tmp_path}",
+        "experiment.tasks=[training]",
+        "++experiment.training.mesh.tensor=2",
+        "++experiment.training.mesh.sequence_parallel=true",
+    ]
+    try:
+        exp = cli.run(overrides)
+    finally:
+        att_mod.set_sequence_parallel(None)
+    assert int(exp.state.step) == 3
+    # the mesh actually carried the tensor axis
+    assert dict(exp.mesh.shape).get("tensor") == 2
