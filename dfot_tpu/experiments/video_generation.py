@@ -518,10 +518,28 @@ class VideoGenerationExperiment:
         cfg, algo = self.cfg, self.algo
         vcfg = cfg.experiment.validation
         # multi-chip sampling: shard the NFE-expanded denoiser batch over all
-        # devices (no effect on a single chip)
+        # devices (no effect on a single chip). validation.mesh.tensor splits
+        # off a tensor axis; validation.mesh.sequence_parallel additionally
+        # ring-shards big attention windows over it — useful when the NFE
+        # expansion alone can't fill the mesh (e.g. vanilla HG's NFE=2 on 8
+        # chips)
         ndev = len(jax.devices())
         if ndev > 1 and hasattr(algo, "set_sampling_mesh"):
-            algo.set_sampling_mesh(make_mesh((ndev, 1)))
+            mesh_cfg = vcfg.get("mesh", {}) or {}
+            tp = int(mesh_cfg.get("tensor", 1) or 1)
+            if ndev % tp != 0:
+                raise ValueError(f"mesh.tensor={tp} does not divide {ndev}")
+            shape = (ndev // tp, 1) + ((tp,) if tp > 1 else ())
+            mesh = make_mesh(shape)
+            if mesh_cfg.get("sequence_parallel", False):
+                from ..ops.attention import set_sequence_parallel
+
+                if tp <= 1:
+                    raise ValueError(
+                        "mesh.sequence_parallel needs mesh.tensor > 1"
+                    )
+                set_sequence_parallel(mesh, "tensor")
+            algo.set_sampling_mesh(mesh)
         nct = (
             n_context_override
             if n_context_override is not None

@@ -169,3 +169,33 @@ def test_training_with_tensor_parallel_mesh(tmp_path):
     assert int(exp.state.step) == 3
     # the mesh actually carried the tensor axis
     assert dict(exp.mesh.shape).get("tensor") == 2
+
+
+def test_validation_with_tensor_parallel_sampling_mesh(trained_run, tmp_path):
+    """validation.mesh.tensor=2: the sampling mesh carries a tensor axis and
+    validation still produces metrics (tiny attentions stay below the ring
+    threshold — this certifies the config path + mesh plumbing)."""
+    import main as cli
+
+    from dfot_tpu.ops import attention as att_mod
+
+    ckpt = os.path.join(
+        trained_run.ckpt_dir,
+        sorted(os.listdir(trained_run.ckpt_dir))[-1],
+    )
+    overrides = TINY_OVERRIDES + [
+        f"output_dir={tmp_path}",
+        "experiment.tasks=[validation]",
+        f"load={ckpt}",
+        "++experiment.validation.mesh.tensor=2",
+        "++experiment.validation.mesh.sequence_parallel=true",
+    ]
+    try:
+        exp = cli.run(overrides)
+    finally:
+        att_mod.set_sequence_parallel(None)
+    with open(os.path.join(exp.output_dir, "metrics.jsonl")) as f:
+        lines = [json.loads(l) for l in f]
+    assert any("prediction/mse" in k for l in lines for k in l)
+    mesh = exp.algo.rollout_cfg.mesh
+    assert mesh is not None and dict(mesh.shape).get("tensor") == 2
