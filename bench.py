@@ -233,7 +233,7 @@ def bench_forward(model, variables, res, T, pose_dim):
 
 def bench_train(model_spec_args, variables, res, T, pose_dim, dcfg, sched,
                 flops_per_fwd, batch: int = 1, remat=True, remat_policy=None,
-                rng_impl: str = "threefry2x32"):
+                rng_impl: str = "threefry2x32", accumulate: int = 1):
     """One jitted train step on the flagship (B=1, remat, AdamW + EMA).
 
     BASELINE configs 4-5 are training recipes with no published steps/sec;
@@ -275,10 +275,15 @@ def bench_train(model_spec_args, variables, res, T, pose_dim, dcfg, sched,
         optax.clip_by_global_norm(1.0),
         optax.adamw(5e-5, b1=0.9, b2=0.999, weight_decay=1e-2),
     )
+    if accumulate > 1:
+        # recipe-equivalent global batch via micro-batches when B=8 doesn't
+        # fit HBM: optimizer/EMA apply once per `accumulate` micro-steps
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
     state = create_train_state(params, tx, use_ema=True)
     del params
     train_step = make_train_step(
-        model_apply, dcfg, sched, nl_cfg, compute_dtype=jnp.bfloat16
+        model_apply, dcfg, sched, nl_cfg, compute_dtype=jnp.bfloat16,
+        accumulate_steps=accumulate,
     )
 
     B = batch
@@ -296,7 +301,10 @@ def bench_train(model_spec_args, variables, res, T, pose_dim, dcfg, sched,
     state, m = train_step(state, batch, rngs[0])  # compile + first step
     jax.block_until_ready(m["loss"])
     t0 = time.perf_counter()
-    n_steps = 3
+    # with accumulation, span >=2 full optimizer cycles so the apply cost
+    # is amortized into the per-micro-step time the recipe would see
+    n_steps = 3 if accumulate <= 1 else 2 * accumulate
+    rngs = jax.random.split(key, n_steps + 1)
     for i in range(n_steps):
         state, m = train_step(state, batch, rngs[i + 1])
     float(m["loss"])
@@ -306,8 +314,9 @@ def bench_train(model_spec_args, variables, res, T, pose_dim, dcfg, sched,
     # fwd + bwd ~= 3x forward FLOPs (standard accounting)
     train_flops = 3.0 * flops_per_fwd * B
     mfu = train_flops / step_sec / V5E_PEAK_FLOPS
+    acc_tag = f"_acc{accumulate}" if accumulate > 1 else ""
     return {
-        "metric": f"flagship_train_steps_per_sec_b{B}_{res}px_{T}f",
+        "metric": f"flagship_train_steps_per_sec_b{B}{acc_tag}_{res}px_{T}f",
         "value": round(1.0 / step_sec, 3),
         "unit": "steps/sec/chip",
         "vs_baseline": round(
@@ -319,6 +328,7 @@ def bench_train(model_spec_args, variables, res, T, pose_dim, dcfg, sched,
         "remat": list(remat) if isinstance(remat, (tuple, list)) else remat,
         "remat_policy": remat_policy or "none",
         **({"rng_impl": rng_impl} if rng_impl != "threefry2x32" else {}),
+        **({"accumulate": accumulate} if accumulate > 1 else {}),
         "baseline_note": "A100 torch @35% MFU roofline (no published ref steps/sec)",
     }
 

@@ -2,12 +2,13 @@
 
 Runs bench.bench_train for each requested remat pattern on the full 467M
 flagship, sharing one forward compile for the FLOPs accounting. Spec syntax
-NAME[+POLICY][+rbg][:bN] — NAME in {mid, none, all}, POLICY in
+NAME[+POLICY][+rbg][:bN][:aM] — NAME in {mid, none, all}, POLICY in
 {dots, attn, dots_attn} (jax.checkpoint saveable policy, models/remat.py),
 rbg = hardware-bit-generator RNG for the dropout/noise draws (threefry cost
-probe), bN = batch size. Usage:
+probe), bN = micro-batch size, aM = gradient-accumulation steps
+(recipe-equivalent global batch N*M when B=8 doesn't fit HBM). Usage:
 
-    python scripts/bench_train_variants.py mid none all mid+dots mid+dots:b2 mid+rbg
+    python scripts/bench_train_variants.py mid none mid+dots:b2 mid+rbg mid:b2:a4
 """
 
 import os
@@ -41,10 +42,17 @@ def main():
     patterns = {"all": True, "none": False, "mid": (False, False, False, True)}
     for spec in variants:
         try:
-            name, _, bpart = spec.partition(":")
-            if bpart and not bpart.startswith("b"):
-                raise ValueError(f"bad spec {spec!r}: want NAME[+POLICY][+rbg][:bN]")
-            batch = int(bpart[1:]) if bpart else 1
+            name, *parts = spec.split(":")
+            batch, accumulate = 1, 1
+            for p in parts:
+                if p.startswith("b"):
+                    batch = int(p[1:])
+                elif p.startswith("a"):
+                    accumulate = int(p[1:])
+                else:
+                    raise ValueError(
+                        f"bad spec {spec!r}: want NAME[+POLICY][+rbg][:bN][:aM]"
+                    )
             name, *mods = name.split("+")
             rng_impl = "rbg" if "rbg" in mods else "threefry2x32"
             policy = next((m for m in mods if m != "rbg"), "")
@@ -52,6 +60,7 @@ def main():
                 {"tiny": False}, variables, res, T, pose_dim, dcfg, sched,
                 flops_per_fwd, batch=batch, remat=patterns[name],
                 remat_policy=policy or None, rng_impl=rng_impl,
+                accumulate=accumulate,
             )
             bench.emit({"variant": spec, **line})
         except Exception as e:  # noqa: BLE001 — keep timing the rest
