@@ -797,6 +797,12 @@ def _run(args):
         "window8_fps": window8_line["value"],
         "window_compiles": ro._window_fn._cache_size(),
         **extras,
+        # trace-backed structural ceiling (COVERAGE.md roofline; recompute
+        # via scripts/recompute_floor.py on a committed trace summary): even
+        # with the flash kernel AT its cap, exact-parity UViT3DPose math on
+        # one v5e tops out ~2.1-2.3x this baseline, not 3x
+        "structural_cap_vs_baseline": "~2.1-2.3x (d<=128-head attention + "
+                                      "peak-FLOPs gap; see COVERAGE.md)",
     }
     emit(final_line)
 
