@@ -11,12 +11,14 @@ reference algorithms/dfot/backbones/dit/dit_blocks.py:120-160); here it
 composes with the dp/fsdp/tensor axes of ``parallel/mesh.py``.
 
 Used under ``jax.shard_map`` (or inside ``jit`` with shard_map nesting) with
-q/k/v sequence-sharded on ``axis_name``. Forward-only math is plain jnp, so
-JAX autodiff (ppermute has a transpose rule) provides the backward — each
-hop's recompute stays O(N_local * N_local).
+q/k/v sequence-sharded on ``axis_name``. Each hop computes its block with
+the Pallas flash kernel when the local shapes tile (O(N_local) memory, MXU
+dots), else a dense fp32-softmax block; blocks fold in (o, lse) space, so
+autodiff (ppermute has a transpose rule) provides the backward with
+O(N_local^2)-per-hop recompute.
 
-Numerics match dense attention: fp32 logits/softmax accumulation regardless
-of input dtype, output cast back to the input dtype.
+Numerics match dense attention: fp32 softmax stats and fold regardless of
+input dtype, output cast back to the input dtype.
 """
 
 from __future__ import annotations
@@ -30,12 +32,8 @@ import jax.numpy as jnp
 __all__ = ["ring_attention", "sequence_parallel_attention"]
 
 
-def _block(q, k, v, sm_scale):
-    """One (q_local x kv_shard) block: unnormalized PV and softmax stats.
-
-    Returns (acc, row_max, row_sum) in fp32; the caller folds blocks together
-    with the standard online-softmax rescale.
-    """
+def _block_dense(q, k, v, sm_scale):
+    """One (q_local x kv_shard) block -> (o fp32 normalized, lse fp32)."""
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     s = s * sm_scale
     m = jnp.max(s, axis=-1)
@@ -45,7 +43,18 @@ def _block(q, k, v, sm_scale):
         "bhqk,bhkd->bhqd", p.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
     )
-    return acc, m, l
+    return acc / l[..., None], m + jnp.log(l)
+
+
+def _block_flash(q, k, v, sm_scale, interpret):
+    """Flash-kernel block: O(N_local) memory, MXU dots, scaled-units lse."""
+    from .attention import _flash_forward, _pick_blocks
+
+    bq, bk = _pick_blocks(q.shape[-2])
+    o, lse = _flash_forward(
+        q, k, v, False, bq, bk, interpret, return_lse=True, sm_scale=sm_scale
+    )
+    return o.astype(jnp.float32), lse[..., 0].astype(jnp.float32)
 
 
 def ring_attention(
@@ -54,40 +63,55 @@ def ring_attention(
     v: jax.Array,
     axis_name: str,
     sm_scale: Optional[float] = None,
+    use_flash: Optional[bool] = None,
+    interpret: bool = False,
 ) -> jax.Array:
     """Non-causal attention with q/k/v sequence-sharded on ``axis_name``.
 
     Layout (B, H, N_local, D) per device, N_global = N_local * ring size.
     Must run inside shard_map (the axis must be a manual mesh axis).
+    ``use_flash=None`` picks the Pallas block on TPU when the local shapes
+    tile; ``interpret=True`` forces the flash block in Pallas interpret mode
+    (CPU tests).
     """
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
-    ring = jax.lax.psum(1, axis_name)
+    if use_flash is None:
+        from .attention import _blocks_ok
 
-    acc, m, l = _block(q, k, v, sm_scale)
+        use_flash = interpret or (
+            jax.default_backend() == "tpu"
+            and _blocks_ok(q.shape[-2], q.shape[-1])
+        )
+    block = (
+        functools.partial(_block_flash, interpret=interpret)
+        if use_flash
+        else _block_dense
+    )
+
+    ring = jax.lax.psum(1, axis_name)
+    o, lse = block(q, k, v, sm_scale)
     if ring == 1:
-        return (acc / l[..., None]).astype(q.dtype)
+        return o.astype(q.dtype)
 
     perm = [(i, (i + 1) % ring) for i in range(ring)]
 
     def hop(carry, _):
-        acc, m, l, ck, cv = carry
+        o, lse, ck, cv = carry
         # rotate the K/V shard one step around the ring, then fold the new
-        # block into the online softmax (rescale both sides to the new max)
+        # block in (o, lse) space
         ck = jax.lax.ppermute(ck, axis_name, perm)
         cv = jax.lax.ppermute(cv, axis_name, perm)
-        b_acc, b_m, b_l = _block(q, ck, cv, sm_scale)
-        new_m = jnp.maximum(m, b_m)
-        r_old = jnp.exp(m - new_m)
-        r_new = jnp.exp(b_m - new_m)
-        acc = acc * r_old[..., None] + b_acc * r_new[..., None]
-        l = l * r_old + b_l * r_new
-        return (acc, new_m, l, ck, cv), None
+        b_o, b_lse = block(q, ck, cv, sm_scale)
+        new_lse = jnp.logaddexp(lse, b_lse)
+        o = (
+            o * jnp.exp(lse - new_lse)[..., None]
+            + b_o * jnp.exp(b_lse - new_lse)[..., None]
+        )
+        return (o, new_lse, ck, cv), None
 
-    (acc, m, l, _, _), _ = jax.lax.scan(
-        hop, (acc, m, l, k, v), None, length=ring - 1
-    )
-    return (acc / l[..., None]).astype(q.dtype)
+    (o, lse, _, _), _ = jax.lax.scan(hop, (o, lse, k, v), None, length=ring - 1)
+    return o.astype(q.dtype)
 
 
 def sequence_parallel_attention(
@@ -97,6 +121,8 @@ def sequence_parallel_attention(
     mesh,
     axis_name: str = "tensor",
     sm_scale: Optional[float] = None,
+    use_flash: Optional[bool] = None,
+    interpret: bool = False,
 ) -> jax.Array:
     """Convenience wrapper: shard_map `ring_attention` over one mesh axis.
 
@@ -115,9 +141,15 @@ def sequence_parallel_attention(
         )
     spec = P(None, None, axis_name, None)
     fn = jax.shard_map(
-        functools.partial(ring_attention, axis_name=axis_name, sm_scale=sm_scale),
+        functools.partial(
+            ring_attention, axis_name=axis_name, sm_scale=sm_scale,
+            use_flash=use_flash, interpret=interpret,
+        ),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
+        # pallas_call out_shapes carry no vma annotations; the specs above
+        # are uniform so the replication check adds nothing here
+        check_vma=False,
     )
     return fn(q, k, v)

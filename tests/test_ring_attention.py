@@ -118,3 +118,19 @@ def test_set_sequence_parallel_rejects_unknown_axis(cpu_mesh_devices):
     with pytest.raises(ValueError, match="no axis"):
         att_mod.set_sequence_parallel(mesh, "tensor")
     att_mod.set_sequence_parallel(None)
+
+
+def test_ring_attention_flash_block_interpret_matches_dense(cpu_mesh_devices):
+    """Per-hop Pallas flash block (interpret mode) under shard_map matches
+    dense attention — the TPU execution path of the ring."""
+    rng = np.random.RandomState(3)
+    # local shard 256 tokens => flash block shapes tile (256x256)
+    q, k, v = (jnp.asarray(rng.randn(1, 2, 1024, 64).astype(np.float32))
+               for _ in range(3))
+    mesh = make_mesh((2, 1, 4))
+    ref = _xla_attention(q, k, v, causal=False)
+    out = sequence_parallel_attention(
+        q, k, v, mesh, axis_name="tensor", use_flash=True, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
