@@ -540,6 +540,27 @@ class VideoGenerationExperiment:
                     )
                 set_sequence_parallel(mesh, "tensor")
             algo.set_sampling_mesh(mesh)
+        # the sequence-parallel context is trace-time global: restore it
+        # after validation so later re-traces (e.g. mid-training validation
+        # followed by more training) don't inherit the sampling mesh
+        from ..ops import attention as _att
+
+        prior_sp = _att._SEQUENCE_PARALLEL
+        try:
+            return self._validate_once_body(
+                namespace, split, n_context_override
+            )
+        finally:
+            _att._SEQUENCE_PARALLEL = prior_sp
+
+    def _validate_once_body(
+        self,
+        namespace: str = "validation",
+        split: str = "validation",
+        n_context_override: Optional[int] = None,
+    ) -> None:
+        cfg, algo = self.cfg, self.algo
+        vcfg = cfg.experiment.validation
         nct = (
             n_context_override
             if n_context_override is not None
