@@ -225,6 +225,12 @@ def main():
                 for name, us in per_op.most_common(200)
             },
         }
+        if not total:
+            print(
+                "WARNING: zero traced device time — no TPU op plane in the "
+                "xplane (CPU run?); the summary will fail floor recompute",
+                file=sys.stderr,
+            )
         os.makedirs(os.path.dirname(args.summary_out) or ".", exist_ok=True)
         with open(args.summary_out, "w") as f:
             json.dump(summary, f, indent=1)

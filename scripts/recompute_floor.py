@@ -78,6 +78,11 @@ def main():
         else:
             other_ms += ms
     total_ms = s["traced_device_ms_per_step"]
+    if not total_ms:
+        raise SystemExit(
+            "summary has zero traced device time — empty trace (CPU xplane "
+            "has no TPU op plane?); re-trace on the chip"
+        )
     unattributed = total_ms - attn_ms - other_ms  # per_op capped at 200 ops
     if unattributed > 0:
         other_ms += unattributed

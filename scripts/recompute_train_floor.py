@@ -70,6 +70,11 @@ def main():
             attn_ms += ms
             attn_ops.append((name, ms))
     total_ms = s["traced_device_ms_per_step"]
+    if not total_ms:
+        raise SystemExit(
+            "summary has zero traced device time — empty trace (CPU xplane "
+            "has no TPU op plane?); re-trace on the chip"
+        )
     other_ms = total_ms - attn_ms
 
     remat_l3, remat_mid = {
