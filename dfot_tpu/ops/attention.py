@@ -76,6 +76,11 @@ def attention_capture_enabled() -> bool:
 
 _NEG_INF = -1e30
 
+# exp(x) = exp2(x * log2(e)): folding log2(e) into the softmax scale lets the
+# kernels call exp2 directly — one fewer full-tile VPU multiply per score
+# block than exp (which lowers to exp2(x * LOG2E) internally anyway).
+_LOG2E = 1.4426950408889634
+
 # VMEM budget for holding full k/v in the dq backward kernel; beyond this
 # the streaming (HBM DMA) variant is used. Tests shrink it to force streaming.
 _DQ_STREAM_BYTES = 6 * 2**20
@@ -83,7 +88,7 @@ _DQ_STREAM_BYTES = 6 * 2**20
 
 def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, seq_len: int,
-    causal: bool, sm_scale: float
+    causal: bool, sm_scale: float, aug: bool
 ):
     """One (batch*head, q-block) program: stream K/V blocks with online softmax.
 
@@ -93,18 +98,30 @@ def _flash_kernel(
 
     Dots take q/k/v in their NATIVE dtype (bf16 in production) with fp32
     accumulation, like the backward kernels — pre-casting to f32 forces
-    half-rate fp32 MXU passes. The softmax scale is folded into the
-    max-subtraction (the running max is tracked on RAW scores), so no extra
-    full-tile multiply is paid; the emitted lse is in scaled units, as the
-    backward expects.
+    half-rate fp32 MXU passes. The softmax scale is folded with log2(e) into
+    the max-subtraction and exp2 is called directly (the running max is
+    tracked on RAW scores), so no extra full-tile multiply is paid; the
+    emitted lse is in scaled natural-log units, as the backward expects.
+
+    When ``aug`` is set, v arrives with a ones column appended (D+1 lanes)
+    and the pv dot computes the softmax normalizer l as its last output
+    column — the MXU absorbs what was a full-tile VPU reduction per block,
+    and l drops out of the carry entirely (the alpha correction applied to
+    acc covers it). For d % 128 == 64 the extra column is free: the pv
+    output was already padded to the next 128-lane tile. The kernel is
+    VPU-bound at these shapes (MXU-ideal is ~2.4 of the measured 4.2 ms at
+    (2, 9, 8192, 64) on v5e), so removing one of its three full-tile passes
+    is the direct lever.
     """
     q = q_ref[0]
     blk_q, d = q.shape
     num_kb = seq_len // block_k
     q_block_start = pl.program_id(1) * blk_q
+    a2 = sm_scale * _LOG2E
+    dv = d + 1 if aug else d
 
     def body(i, carry):
-        acc, m_i, l_i = carry  # (blk_q, d), (blk_q, 1), (blk_q, 1)
+        acc, m_i, l_i = carry  # (blk_q, dv), (blk_q, 1), (blk_q, 1)
         k = k_ref[0, pl.ds(i * block_k, block_k), :]
         v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
@@ -119,26 +136,28 @@ def _flash_kernel(
             )
             s = jnp.where(q_pos >= k_pos, s, _NEG_INF)
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
-        alpha = jnp.exp((m_i - m_new) * sm_scale)
-        p = jnp.exp((s - m_new) * sm_scale)
-        l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        alpha = jnp.exp2((m_i - m_new) * a2)
+        p = jnp.exp2((s - m_new) * a2)
+        if not aug:
+            l_i = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return acc, m_new, l_new
+        return acc, m_new, l_i
 
-    acc0 = jnp.zeros((blk_q, d), jnp.float32)
+    acc0 = jnp.zeros((blk_q, dv), jnp.float32)
     m0 = jnp.full((blk_q, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((blk_q, 1), jnp.float32)
     acc, m_i, l_i = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
-    o_ref[0] = (acc / l_i).astype(o_ref.dtype)
+    l_i = acc[:, d:] if aug else l_i
+    o_ref[0] = (acc[:, :d] * (1.0 / l_i)).astype(o_ref.dtype)
     lse_ref[0] = m_i * sm_scale + jnp.log(l_i)  # (blk_q, 1), scaled units
 
 
 def _flash_kernel_pvt(
     q_ref, k_ref, vt_ref, ot_ref, lse_ref, *, block_k: int, seq_len: int,
-    causal: bool, sm_scale: float
+    causal: bool, sm_scale: float, aug: bool
 ):
     """Transposed-pv forward: one (batch*head, q-block) program computing
     o^T = v^T @ p^T with scores held as (block_k, BLK_Q).
@@ -153,15 +172,24 @@ def _flash_kernel_pvt(
     pre-transposed as (1, D, N); o leaves as (1, D, BLK_Q) and is transposed
     back by XLA outside the kernel (a few-MB relayout per call, amortized
     against the pv-dot speedup at video token counts).
+
+    ``aug``: v^T arrives with a ones ROW appended (D+1 sublanes) and the pv
+    dot emits the normalizer l as its last output row — one fewer full-tile
+    VPU reduction per block (see _flash_kernel). Here the extra row costs
+    one more 8-sublane output tile on the pv dot (~12% at D=64) where the
+    row orientation gets it free, but the kernel is VPU-bound, so it still
+    wins.
     """
     q = q_ref[0]  # (blk_q, d) native dtype
     blk_q = q.shape[0]
-    d = vt_ref.shape[1]
+    dv = vt_ref.shape[1]  # true head dim, +1 when aug (ones row appended)
+    d = dv - 1 if aug else dv
     num_kb = seq_len // block_k
     q_block_start = pl.program_id(1) * blk_q
+    a2 = sm_scale * _LOG2E
 
     def body(i, carry):
-        acc, m_i, l_i = carry  # (d, blk_q), (1, blk_q), (1, blk_q)
+        acc, m_i, l_i = carry  # (dv, blk_q), (1, blk_q), (1, blk_q)
         kb = k_ref[0, pl.ds(i * block_k, block_k), :]  # (block_k, d)
         s_t = jax.lax.dot_general(
             kb, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -175,21 +203,23 @@ def _flash_kernel_pvt(
             )
             s_t = jnp.where(q_pos >= k_pos, s_t, _NEG_INF)
         m_new = jnp.maximum(m_i, jnp.max(s_t, axis=0, keepdims=True))
-        alpha = jnp.exp((m_i - m_new) * sm_scale)
-        p_t = jnp.exp((s_t - m_new) * sm_scale)
-        l_new = l_i * alpha + jnp.sum(p_t, axis=0, keepdims=True)
-        vtb = vt_ref[0, :, pl.ds(i * block_k, block_k)]  # (d, block_k)
+        alpha = jnp.exp2((m_i - m_new) * a2)
+        p_t = jnp.exp2((s_t - m_new) * a2)
+        if not aug:
+            l_i = l_i * alpha + jnp.sum(p_t, axis=0, keepdims=True)
+        vtb = vt_ref[0, :, pl.ds(i * block_k, block_k)]  # (dv, block_k)
         acc = acc * alpha + jax.lax.dot_general(
             vtb, p_t.astype(vtb.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return acc, m_new, l_new
+        return acc, m_new, l_i
 
-    acc0 = jnp.zeros((d, blk_q), jnp.float32)
+    acc0 = jnp.zeros((dv, blk_q), jnp.float32)
     m0 = jnp.full((1, blk_q), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((1, blk_q), jnp.float32)
     acc, m_i, l_i = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
-    ot_ref[0] = (acc / l_i).astype(ot_ref.dtype)
+    l_i = acc[d:] if aug else l_i
+    ot_ref[0] = (acc[:d] * (1.0 / l_i)).astype(ot_ref.dtype)
     lse_ref[0] = m_i * sm_scale + jnp.log(l_i)  # (1, blk_q), scaled units
 
 
@@ -241,12 +271,21 @@ def _flash_forward(
     qf = q.reshape(b * h, n, d)
     kf = k.reshape(b * h, n, d)
     vf = v.reshape(b * h, n, d)
+    # MXU-computed normalizer (see _flash_kernel): free for d % 128 == 64
+    # (the pv output tile was already lane-padded); for full-width heads the
+    # extra column would double the pv dot's lane tiles, so keep the VPU sum
+    aug = (d % 128) == 64
+    dv = d + 1 if aug else d
 
     if variant == "pvt":
         vt = jnp.swapaxes(vf, 1, 2)  # (b*h, d, n)
+        if aug:
+            vt = jnp.concatenate(
+                [vt, jnp.ones((b * h, 1, n), vt.dtype)], axis=1
+            )  # (b*h, d+1, n), ones row -> l
         kernel = functools.partial(
             _flash_kernel_pvt, block_k=block_k, seq_len=n, causal=causal,
-            sm_scale=sm_scale,
+            sm_scale=sm_scale, aug=aug,
         )
         out_t, lse = pl.pallas_call(
             kernel,
@@ -258,7 +297,7 @@ def _flash_forward(
             in_specs=[
                 pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, d, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, dv, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=(
                 pl.BlockSpec((1, d, block_q), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
@@ -271,8 +310,13 @@ def _flash_forward(
             return out, jnp.swapaxes(lse, 1, 2).reshape(b, h, n, 1)
         return out
 
+    if aug:
+        vf = jnp.concatenate(
+            [vf, jnp.ones((b * h, n, 1), vf.dtype)], axis=-1
+        )  # (b*h, n, d+1), ones column -> l
     kernel = functools.partial(
-        _flash_kernel, block_k=block_k, seq_len=n, causal=causal, sm_scale=sm_scale
+        _flash_kernel, block_k=block_k, seq_len=n, causal=causal,
+        sm_scale=sm_scale, aug=aug,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -284,7 +328,7 @@ def _flash_forward(
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, dv), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -316,29 +360,32 @@ def _flash_bwd_dq_kernel(
     """
     q = q_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0]      # (blk_q, 1)
-    delta = delta_ref[0]  # (blk_q, 1)
+    lse2 = lse_ref[0] * _LOG2E  # (blk_q, 1)
+    delta = delta_ref[0]        # (blk_q, 1)
     blk_q, d = q.shape
     num_kb = seq_len // block_k
     q_start = pl.program_id(1) * blk_q
+    a2 = sm_scale * _LOG2E
 
     def body(i, dq):
         kb = k_ref[0, pl.ds(i * block_k, block_k), :]
         vb = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale
+        )  # RAW scores
         if causal:
             q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (blk_q, block_k), 0)
             k_pos = i * block_k + jax.lax.broadcasted_iota(jnp.int32, (blk_q, block_k), 1)
             s = jnp.where(q_pos >= k_pos, s, _NEG_INF)
-        p = jnp.exp(s - lse)
+        p = jnp.exp2(s * a2 - lse2)
         dp = jax.lax.dot_general(
             do, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = (p * (dp - delta) * sm_scale).astype(q.dtype)
+        # sm_scale rides on the small (block_k, d) k tile, not the full tile
+        ds = (p * (dp - delta)).astype(q.dtype)
+        kb_s = (kb.astype(jnp.float32) * sm_scale).astype(q.dtype)
         return dq + jax.lax.dot_general(
-            ds, kb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds, kb_s, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
     dq = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((blk_q, d), jnp.float32))
@@ -356,12 +403,13 @@ def _flash_bwd_dq_stream_kernel(
     _flash_bwd_dq_kernel)."""
     q = q_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0]      # (blk_q, 1)
-    delta = delta_ref[0]  # (blk_q, 1)
+    lse2 = lse_ref[0] * _LOG2E  # (blk_q, 1)
+    delta = delta_ref[0]        # (blk_q, 1)
     blk_q, d = q.shape    # d = 128-lane padded head dim
     num_kb = seq_len // block_k
     q_start = pl.program_id(1) * blk_q
     bh = pl.program_id(0)
+    a2 = sm_scale * _LOG2E
 
     def scoped(k_buf, v_buf, sems):
         def get_copies(slot, i):
@@ -389,7 +437,7 @@ def _flash_bwd_dq_stream_kernel(
             vb = v_buf[slot]
             s = jax.lax.dot_general(
                 q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * sm_scale
+            )  # RAW scores
             if causal:
                 q_pos = q_start + jax.lax.broadcasted_iota(
                     jnp.int32, (blk_q, block_k), 0
@@ -398,13 +446,16 @@ def _flash_bwd_dq_stream_kernel(
                     jnp.int32, (blk_q, block_k), 1
                 )
                 s = jnp.where(q_pos >= k_pos, s, _NEG_INF)
-            p = jnp.exp(s - lse)
+            p = jnp.exp2(s * a2 - lse2)
             dp = jax.lax.dot_general(
                 do, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
-            ds = (p * (dp - delta) * sm_scale).astype(q.dtype)
+            # sm_scale rides on the small (block_k, d) k tile (see
+            # _flash_bwd_dq_kernel)
+            ds = (p * (dp - delta)).astype(q.dtype)
+            kb_s = (kb.astype(jnp.float32) * sm_scale).astype(q.dtype)
             return dq + jax.lax.dot_general(
-                ds, kb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                ds, kb_s, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )
 
         dq = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((blk_q, d), jnp.float32))
@@ -443,6 +494,7 @@ def _flash_bwd_dkv_kernel(
     num_qb = seq_len // block_q
     k_start = pl.program_id(1) * blk_k
     bh = pl.program_id(0)
+    a2 = sm_scale * _LOG2E  # p = exp2(s_raw * a2 - lse * LOG2E), see dq kernel
 
     def scoped(q_buf, do_buf, lse_buf, delta_buf, sems):
         def get_copies(slot, i):
@@ -475,7 +527,7 @@ def _flash_bwd_dkv_kernel(
             delta = delta_buf[slot]
             s_t = jax.lax.dot_general(
                 kb, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * sm_scale           # (blk_k, block_q)
+            )                      # (blk_k, block_q) — RAW scores
             if causal:
                 k_pos = k_start + jax.lax.broadcasted_iota(
                     jnp.int32, (blk_k, block_q), 0
@@ -484,7 +536,7 @@ def _flash_bwd_dkv_kernel(
                     jnp.int32, (blk_k, block_q), 1
                 )
                 s_t = jnp.where(q_pos >= k_pos, s_t, _NEG_INF)
-            p_t = jnp.exp(s_t - lse)
+            p_t = jnp.exp2(s_t * a2 - lse * _LOG2E)
             dv = dv + jax.lax.dot_general(
                 p_t.astype(q_dtype), do, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -492,9 +544,13 @@ def _flash_bwd_dkv_kernel(
             dp_t = jax.lax.dot_general(
                 vb, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )                      # (blk_k, block_q)
-            ds_t = (p_t * (dp_t - delta) * sm_scale).astype(q_dtype)
+            # ds' = p * (dp - delta): the sm_scale factor rides on the small
+            # (block_q, d) q tile instead of another full-tile multiply
+            ds_t = (p_t * (dp_t - delta)).astype(q_dtype)
+            q_s = (q.astype(jnp.float32) * sm_scale).astype(q_dtype)
             dk = dk + jax.lax.dot_general(
-                ds_t, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                ds_t, q_s, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
             return dk, dv
 
