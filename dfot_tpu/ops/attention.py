@@ -830,12 +830,17 @@ def _pick_block(n: int) -> int:
 
 
 def _pick_blocks(n: int) -> tuple:
-    """(block_q, block_k) for the forward kernel. v5e measurements at
-    (·, 9, 8192, 64): 512x1024 = 3.48 ms, 512x512 = 3.71 ms, 1024x1024 =
-    3.45 ms but its 4MB fp32 score tile blows the 16MB scoped-VMEM budget
-    once the surrounding program grows (B=2 window scan), so past 4096
-    tokens keep the q block at 512 and widen only the k block."""
+    """(block_q, block_k) for the forward kernel. v5e in-graph measurements
+    at (2, 9, 8192, 64) with the MXU-normalizer kernels: 512x2048 = 3.62 ms
+    (85.5 TF/s), 1024x1024 = 3.82, 512x1024 = 3.94, 256x2048 = 3.77,
+    512x512 = 4.36. The wide-k shape amortizes the per-block running-max /
+    rescale corrections over 4x fewer iterations; its 4MB fp32 score tile
+    + whole-sequence k/v still fits scoped VMEM inside the full flagship
+    window scan (verified via profile_forward --batch 2), unlike the
+    1024x1024 q-tile which blew the budget there."""
     bq = _pick_block(n)
+    if n > 4096 and n % 2048 == 0:
+        return bq, 2048
     if n > 4096 and n % 1024 == 0:
         return bq, 1024
     return bq, bq

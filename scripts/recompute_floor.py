@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import sys
 
 V5E_PEAK_TFS = 197.0
@@ -39,9 +40,17 @@ LEVEL3 = 12 * 4 * (8 * 32 * 32) ** 2 * 576   # d=64 heads
 MID = 20 * 4 * (8 * 16 * 16) ** 2 * 1152     # d=128 heads
 ATTN_FLOPS = LEVEL3 + MID  # ~2.24e12
 
-# trace-op classification: pallas flash kernels surface as custom-calls /
-# fusions whose HLO names carry the kernel label
-ATTN_PATTERNS = ("flash", "attention", "attn")
+# Trace-op classification: the summary keys are full HLO instruction lines
+# ("%up_2_1.1 = (bf16[...]) custom-call(...)"), named after the MODEL SCOPE,
+# not the kernel — so match the DEFINING opcode, not a substring (operand
+# lists of fusions also contain "custom-call" as text). The only pallas
+# kernels in dfot_tpu are the attention kernels (ops/attention.py,
+# ops/ring_attention.py), so defining custom-call <=> attention kernel.
+_DEF_CUSTOM_CALL = re.compile(r"[)}\]]\s*custom-call\(")
+
+
+def _is_attention_op(hlo_line: str) -> bool:
+    return bool(_DEF_CUSTOM_CALL.search(hlo_line))
 
 # rollout bookkeeping (bench.py 200-frame workload, keyframe_density 0.0625,
 # 50 DDIM steps, NFE 2): B=1-equivalent denoiser evals per rollout
@@ -72,7 +81,7 @@ def main():
     attn_ms, other_ms = 0.0, 0.0
     attn_ops = []
     for name, ms in s["per_op_ms"].items():
-        if any(p in name.lower() for p in ATTN_PATTERNS):
+        if _is_attention_op(name):
             attn_ms += ms
             attn_ops.append((name, ms))
         else:

@@ -25,6 +25,8 @@ from __future__ import annotations
 import argparse
 import json
 
+from recompute_floor import _is_attention_op
+
 V5E_PEAK_TFS = 197.0
 
 # flagship per-forward attention FLOPs (B=1) — see recompute_floor.py.
@@ -33,8 +35,6 @@ V5E_PEAK_TFS = 197.0
 LEVEL3 = 12 * 4 * (8 * 32 * 32) ** 2 * 576
 MID = 20 * 4 * (8 * 16 * 16) ** 2 * 1152
 ATTN_FWD = LEVEL3 + MID
-
-ATTN_PATTERNS = ("flash", "attention", "attn")
 
 # model FLOPs per forward from the driver bench (XLA cost analysis of the
 # jitted flagship denoiser forward, bench.py fwd_extras "flops_per_forward";
@@ -66,7 +66,7 @@ def main():
     B = s.get("batch", 1)
     attn_ms, attn_ops = 0.0, []
     for name, ms in s["per_op_ms"].items():
-        if any(p in name.lower() for p in ATTN_PATTERNS):
+        if _is_attention_op(name):
             attn_ms += ms
             attn_ops.append((name, ms))
     total_ms = s["traced_device_ms_per_step"]
@@ -119,7 +119,7 @@ def main():
         print(f"  {ms:8.3f}  {name[:100]}")
     print("\ntop non-attention ops (ms/step):")
     rest = [(n, m) for n, m in s["per_op_ms"].items()
-            if not any(p in n.lower() for p in ATTN_PATTERNS)]
+            if not _is_attention_op(n)]
     for name, ms in sorted(rest, key=lambda kv: -kv[1])[:12]:
         print(f"  {ms:8.3f}  {name[:100]}")
     if s.get("per_category_ms"):

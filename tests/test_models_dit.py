@@ -447,14 +447,17 @@ def test_small_n_attention_matches_xla():
 
 
 def test_flash_block_picker_vmem_rule():
-    """Past 4096 tokens only the k block widens (the 1024x1024 fp32 score
-    tile blows the scoped-VMEM budget inside large programs)."""
+    """Past 4096 tokens only the k block widens (a 1024-wide q block's fp32
+    score tile blows the scoped-VMEM budget inside large programs); the k
+    block widens to 2048 (v5e-measured optimum, see _pick_blocks) with a
+    1024 fallback for sequences that only split by 1024."""
     from dfot_tpu.ops.attention import _pick_blocks
 
     assert _pick_blocks(1024) == (1024, 1024)
     assert _pick_blocks(4096) == (1024, 1024)
-    assert _pick_blocks(8192) == (512, 1024)
-    assert _pick_blocks(16384) == (512, 1024)
+    assert _pick_blocks(8192) == (512, 2048)
+    assert _pick_blocks(16384) == (512, 2048)
+    assert _pick_blocks(5120) == (512, 1024)
 
 
 def test_flash_attention_backward_wide_dkv_block():
