@@ -85,6 +85,31 @@ _LOG2E = 1.4426950408889634
 # the streaming (HBM DMA) variant is used. Tests shrink it to force streaming.
 _DQ_STREAM_BYTES = 6 * 2**20
 
+# backward block caps (see _flash_backward). Chip-swept at the flagship
+# shapes (v5e, 2026-08): long (n=8192, d=64) fwd+vjp 12.86 ms @256 ->
+# 9.36 @512 -> 8.98 @1024; short/mid (n=2048, d=128) 0.708 ms @512 ->
+# 0.359 @1024 (2048 regresses to 0.487 — the full-n score tile starves
+# double buffering). Blocks are fitted to divisors of n (_fit_block), so
+# these are upper bounds, not exact sizes.
+_BWD_CAP_SHORT = 1024  # n <= 4096
+_BWD_CAP_LONG = 1024   # longer sequences
+
+
+def _fit_block(n: int, want: int) -> int:
+    """Largest block <= want that divides n (pallas grids drop remainders).
+
+    Prefers the largest power-of-two divisor; falls back to any divisor so
+    odd sequence lengths (already block-aligned by callers) stay exact.
+    """
+    want = min(want, n)
+    blk = 1
+    while blk * 2 <= want and n % (blk * 2) == 0:
+        blk *= 2
+    for cand in range(want, blk, -1):
+        if n % cand == 0:
+            return cand
+    return blk
+
 
 def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, seq_len: int,
@@ -577,9 +602,9 @@ def _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k, interpret,
         sm_scale = 1.0 / math.sqrt(d)
     # the backward holds more live f32 tiles (s, p, dp, ds) than the forward;
     # cap blocks harder so long sequences stay inside scoped VMEM
-    cap = 512 if n <= 4096 else 256
-    block_q = min(block_q, n, cap)
-    block_k = min(block_k, n, cap)
+    cap = _BWD_CAP_SHORT if n <= 4096 else _BWD_CAP_LONG
+    block_q = _fit_block(n, min(block_q, cap))
+    block_k = _fit_block(n, min(block_k, cap))
     qf, kf, vf = (a.reshape(b * h, n, d) for a in (q, k, v))
     dof = g.reshape(b * h, n, d)
     lsef = lse.reshape(b * h, n, 1)
@@ -821,10 +846,16 @@ small_n_attention.defvjp(_small_n_fwd, _small_n_bwd)
 
 
 def _pick_block(n: int) -> int:
-    """Forward q-block size; see _pick_blocks for the (q, k) pair rule."""
+    """Forward q-block size; see _pick_blocks for the (q, k) pair rule.
+
+    Any 128-multiple divisor of n qualifies (the kernels have no
+    power-of-two requirement — blocks only index `pl.ds` slices and size
+    iotas): n=1280 (the DiT/XL latent shape) gets 640, not 256. Chip sweep
+    at (8,16,1280,128): 640-blocks run the forward 2.4x faster than
+    256-blocks (128 vs 54 TF/s)."""
     cap = 1024 if n <= 4096 else 512
-    for b in (cap, 512, 256, 128):
-        if b <= cap and n % b == 0:
+    for b in range(cap, 127, -128):
+        if b <= n and n % b == 0:
             return b
     return 0
 
@@ -843,6 +874,14 @@ def _pick_blocks(n: int) -> tuple:
         return bq, 2048
     if n > 4096 and n % 1024 == 0:
         return bq, 1024
+    if bq and bq < min(n, 1024):
+        # the q block was divisor-limited (non-power-of-two n): widen the k
+        # block toward whole-sequence so the running-max/rescale corrections
+        # amortize over fewer iterations. v5e at (8,16,1280,128):
+        # (640,1280) fwd 0.787 ms vs (640,640) 0.838 vs (256,256) 1.985.
+        for bk in range(2048, bq, -128):
+            if bk <= n and n % bk == 0:
+                return bq, bk
     return bq, bq
 
 

@@ -30,6 +30,9 @@ def main():
                     choices=("dots", "attn", "dots_attn"),
                     help="jax.checkpoint saveable policy for the remated "
                     "DiT blocks (models/remat.py); default recomputes all")
+    ap.add_argument("--no-remat", action="store_true",
+                    help="disable per-block gradient checkpointing (latent "
+                    "activations are small; recompute may be pure overhead)")
     args = ap.parse_args()
 
     import jax
@@ -49,6 +52,7 @@ def main():
     print(json.dumps(bench_latent_train(
         model_kind=args.model, batch=args.batch, steps=args.steps,
         tiny=args.tiny, remat_policy=args.remat_policy,
+        remat=not args.no_remat,
     )), flush=True)
 
 

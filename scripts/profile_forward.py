@@ -81,6 +81,15 @@ def main():
                     default="none",
                     help="saveable policy for the remated levels (match "
                     "bench.py --train-remat-policy)")
+    ap.add_argument("--latent", choices=("xl", "b"), default="",
+                    help="trace a LATENT-recipe train step (bench.py "
+                    "bench_latent_train: xl = K600 @DiT/XL, b = Minecraft "
+                    "@DiT/B) instead of the flagship; combine with --batch "
+                    "and --latent-remat/--train-remat-policy")
+    ap.add_argument("--latent-remat", action="store_true",
+                    help="per-block gradient checkpointing for --latent "
+                    "(default off — the b8 no-remat config is the measured "
+                    "winner)")
     ap.add_argument("--out", default="")
     ap.add_argument("--precomputed-cond", action="store_true",
                     help="trace the in-scan eval (precomputed pose "
@@ -103,11 +112,62 @@ def main():
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    B = args.batch
+    trace_dir = args.out or tempfile.mkdtemp(prefix="dfot_prof_")
+
+    if args.latent:
+        from bench import bench_latent_train
+
+        policy = (None if args.train_remat_policy == "none"
+                  else args.train_remat_policy)
+        line = bench_latent_train(
+            model_kind=args.latent, batch=B, steps=args.steps,
+            tiny=args.tiny, remat_policy=policy, remat=args.latent_remat,
+            trace_dir=trace_dir,
+        )
+        wall = line["train_step_ms"] / 1e3
+        workload = f"latent_train_{args.latent}"
+        per_op, per_cat, total = parse_xplane(trace_dir)
+        n = args.steps
+        print(json.dumps({
+            "batch": B,
+            "wall_ms_per_step": round(wall * 1e3, 2),
+            "traced_device_ms_per_step": round(total / 1e3 / n, 2),
+            "train_mfu": line["train_mfu"],
+        }))
+        if args.summary_out:
+            summary = {
+                "workload": workload,
+                "batch": B,
+                "steps": n,
+                "bench_line": line,
+                "wall_ms_per_step": round(wall * 1e3, 3),
+                "traced_device_ms_per_step": round(total / 1e3 / n, 3),
+                "per_category_ms": {
+                    c: round(us / 1e3 / n, 4) for c, us in per_cat.most_common()
+                },
+                "per_op_ms": {
+                    name: round(us / 1e3 / n, 4)
+                    for name, us in per_op.most_common(200)
+                },
+            }
+            os.makedirs(os.path.dirname(args.summary_out) or ".",
+                        exist_ok=True)
+            with open(args.summary_out, "w") as f:
+                json.dump(summary, f, indent=1)
+            print(f"summary written: {args.summary_out}")
+        print("\n== by category (ms/step) ==")
+        for cat, us in per_cat.most_common(20):
+            print(f"{us / 1e3 / n:9.3f}  {cat}")
+        print("\n== top ops (ms/step) ==")
+        for name, us in per_op.most_common(40):
+            print(f"{us / 1e3 / n:9.3f}  {name[:110]}")
+        print(f"\ntrace dir: {trace_dir}")
+        return
+
     from bench import build_flagship
 
     model, variables, res, T, pose_dim = build_flagship(args.tiny)
-    B = args.batch
-    trace_dir = args.out or tempfile.mkdtemp(prefix="dfot_prof_")
 
     if args.train:
         import optax

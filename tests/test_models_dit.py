@@ -480,3 +480,37 @@ def test_flash_attention_backward_wide_dkv_block():
     _, vjp_f = jax.vjp(flash, q, k, v)
     for a, b_ in zip(vjp_d(g), vjp_f(g)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-2)
+
+
+def test_bwd_block_fitter_divides_sequence():
+    """Backward blocks must DIVIDE the sequence length: pallas grids drop
+    remainders silently (n // block blocks), so a non-divisor block would
+    skip trailing rows. _fit_block returns the largest divisor <= the cap
+    (chip-swept caps: 1024 long and short — see _BWD_CAP_* in attention)."""
+    from dfot_tpu.ops.attention import (_BWD_CAP_LONG, _BWD_CAP_SHORT,
+                                        _fit_block)
+
+    for n in (512, 1280, 2048, 4096, 8192, 16384, 100, 7):
+        for want in (128, 256, 512, 640, 768, 1024, 2048):
+            blk = _fit_block(n, want)
+            assert n % blk == 0 and blk <= min(want, n), (n, want, blk)
+    # the flagship shapes get exactly the swept winners
+    assert _fit_block(8192, min(2048, _BWD_CAP_LONG)) == 1024
+    assert _fit_block(2048, min(1024, _BWD_CAP_SHORT)) == 1024
+    # the DiT/XL latent shape (n=1280) keeps its exact 256 split
+    assert _fit_block(1280, 256) == 256
+
+
+def test_block_picker_non_pow2_sequences():
+    """Non-power-of-two sequences (DiT/XL latents: n=1280) get the widest
+    128-multiple divisor blocks, with the k block widened toward
+    whole-sequence when the q block is divisor-limited (chip-swept: 2.4x
+    forward win over the old 256-block fallback)."""
+    from dfot_tpu.ops.attention import _pick_block, _pick_blocks
+
+    assert _pick_block(1280) == 640
+    assert _pick_blocks(1280) == (640, 1280)
+    assert _pick_blocks(1536) == (768, 1536)
+    # power-of-two behavior unchanged
+    assert _pick_blocks(2048) == (1024, 1024)
+    assert _pick_blocks(8192) == (512, 2048)
