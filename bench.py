@@ -335,7 +335,8 @@ def bench_train(model_spec_args, variables, res, T, pose_dim, dcfg, sched,
 
 def bench_latent_train(model_kind: str = "xl", batch: int = 8, steps: int = 3,
                        tiny: bool = False, remat_policy=None,
-                       remat: bool = True, trace_dir: str = "") -> dict:
+                       remat: bool = True, trace_dir: str = "",
+                       flat_opt: bool = False) -> dict:
     """Training throughput for the latent recipes (BASELINE.md rows 5-6).
 
     ``xl``: K600 @DiT/XL (depth 28 / hidden 1152 / 16 heads, patch 1) on
@@ -399,6 +400,10 @@ def bench_latent_train(model_kind: str = "xl", batch: int = 8, steps: int = 3,
         optax.clip_by_global_norm(1.0),
         optax.adamw(1e-4, b1=0.9, b2=0.99, weight_decay=0.0),
     )
+    if flat_opt:
+        # run the optimizer over one raveled vector instead of ~200 leaves
+        # (probe for the small-op tail; see training/optim.py flatten option)
+        tx = optax.flatten(tx)
     state = create_train_state(params, tx, use_ema=True)
     train_step = make_train_step(model_apply, dcfg, sched, nl_cfg,
                                  compute_dtype=dtype)
@@ -434,6 +439,7 @@ def bench_latent_train(model_kind: str = "xl", batch: int = 8, steps: int = 3,
         "videos_per_sec": round(B / step_sec, 2),
         "remat": remat,
         "remat_policy": remat_policy or "none",
+        **({"flat_opt": True} if flat_opt else {}),
         "baseline_note": "A100 torch @35% MFU roofline (no published ref steps/sec)",
     }
 
@@ -467,11 +473,12 @@ def parse_args():
                     "largest HBM footprint)")
     ap.add_argument("--train-remat-policy",
                     choices=("none", "dots", "attn", "dots_attn"),
-                    default="none",
+                    default="dots",
                     help="jax.checkpoint saveable policy for the remated "
                     "levels: 'dots' saves matmul outputs (recomputes only "
-                    "elementwise ops), 'attn' saves flash-attention outputs, "
-                    "'dots_attn' both (models/remat.py)")
+                    "elementwise ops, the chip-swept winner: 328.0 ms/step "
+                    "vs 330.8 bare-mid at b1), 'attn' saves flash-attention "
+                    "outputs, 'dots_attn' both (models/remat.py)")
     ap.add_argument("--interp-batch", type=int, default=1,
                     help="interpolation max_batch_size (batch-scaling is flat "
                     "on one v5e — ~78 ms per B=1-equivalent eval at B=1 and "

@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--no-remat", action="store_true",
                     help="disable per-block gradient checkpointing (latent "
                     "activations are small; recompute may be pure overhead)")
+    ap.add_argument("--flat-opt", action="store_true",
+                    help="optax.flatten the optimizer (one raveled vector "
+                    "instead of per-leaf updates — small-op tail probe)")
     args = ap.parse_args()
 
     import jax
@@ -52,7 +55,7 @@ def main():
     print(json.dumps(bench_latent_train(
         model_kind=args.model, batch=args.batch, steps=args.steps,
         tiny=args.tiny, remat_policy=args.remat_policy,
-        remat=not args.no_remat,
+        remat=not args.no_remat, flat_opt=args.flat_opt,
     )), flush=True)
 
 
