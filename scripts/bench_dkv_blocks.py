@@ -1,10 +1,20 @@
-"""Chip sweep of the dkv kernel's k-block / q-block widths.
+"""Chip sweep of the dkv kernel's k-block / q-block widths (in-graph timed).
 
 The dkv picker hardcodes pow-2 candidates (512, 256, 128); at the DiT/XL
 latent shape n=1280 that lands on 256 while every other block picker in the
-module was taught non-pow2 divisors (640). This times the dkv pallas_call in
-isolation at candidate (dkv_block_k, block_q) pairs so the picker can be
-fixed from measurement, not guesswork.
+module was taught non-pow2 divisors (640). This times the dkv pallas_call at
+candidate (dkv_block_k, block_q) pairs so the picker can be fixed from
+measurement, not guesswork.
+
+Timing discipline: per-dispatch timing over the tunneled runtime pays a
+~25 ms round trip that drowns a ~1 ms kernel, so each variant is chained
+ITERS times inside one jitted lax.scan (dk feeds the next q — nothing is
+DCE'd) and the report is (t(ITERS) - t(1)) / (ITERS - 1), same method as
+bench_attention_inloop.py.
+
+All shapes run at the 128-lane-padded head dim exactly like production
+(_flash_backward pads d to -d % 128 before the dkv call; unpadded d=64 HBM
+DMA slices fail Mosaic's lane-alignment requirement).
 
 Usage: python scripts/bench_dkv_blocks.py [--out traces/dkv_blocks.json]
 """
@@ -35,39 +45,38 @@ from dfot_tpu.ops import attention as A
 
 V5E_PEAK = 197e12
 
-# (B, H, N, D_padded, label). The latent recipe's d=72 runs the kernels
-# through the 128-lane padded path, so time at d=128 directly.
+# (B, H, N, D_logical, label); the kernel runs at the 128-lane padded dim.
 SHAPES = [
-    (8, 16, 1280, 128, "ditxl_latent"),
+    (8, 16, 1280, 72, "ditxl_latent"),
     (2, 9, 8192, 64, "flagship_l2"),
     (2, 9, 2048, 128, "flagship_mid"),
 ]
 
 
-def dkv_call(qf, kf, vf, dof, lse_t, delta_t, n, d, dkv_block_k, block_q):
-    bh = qf.shape[0]
+def dkv_call(qf, kf, vf, dof, lse_t, delta_t, n, d_log, dkv_block_k, block_q):
+    bh, _, dp = qf.shape  # dp = padded head dim
     qblk = lambda i, j: (i, j, 0)
     return pl.pallas_call(
         functools.partial(
             A._flash_bwd_dkv_kernel, block_q=block_q, seq_len=n, causal=False,
-            sm_scale=1.0 / math.sqrt(d), q_dtype=qf.dtype,
+            sm_scale=1.0 / math.sqrt(d_log), q_dtype=qf.dtype,
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bh, n, d), kf.dtype),
-            jax.ShapeDtypeStruct((bh, n, d), vf.dtype),
+            jax.ShapeDtypeStruct((bh, n, dp), kf.dtype),
+            jax.ShapeDtypeStruct((bh, n, dp), vf.dtype),
         ),
         grid=(bh, n // dkv_block_k),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, dkv_block_k, d), qblk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dkv_block_k, d), qblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dkv_block_k, dp), qblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dkv_block_k, dp), qblk, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((1, dkv_block_k, d), qblk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dkv_block_k, d), qblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dkv_block_k, dp), qblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dkv_block_k, dp), qblk, memory_space=pltpu.VMEM),
         ),
     )(qf, kf, vf, dof, lse_t, delta_t)
 
@@ -89,44 +98,66 @@ def candidates(n):
     return pairs
 
 
+def timed(fn, args, reps):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        r = fn(*args)
+        jax.device_get(r[0].ravel()[0])
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
-    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--iters", type=int, default=16)
     args = ap.parse_args()
 
     rows = []
-    for b, h, n, d, label in SHAPES:
+    for b, h, n, d_log, label in SHAPES:
+        dp = d_log + (-d_log % 128)
         key = jax.random.PRNGKey(0)
         ks = jax.random.split(key, 6)
         bh = b * h
-        mk = lambda k: jax.random.normal(k, (bh, n, d), jnp.bfloat16)
-        qf, kf, vf, dof = mk(ks[0]), mk(ks[1]), mk(ks[2]), mk(ks[3])
+        mk = lambda k: jax.random.normal(k, (bh, n, dp), jnp.bfloat16)
+        kf, vf, dof = mk(ks[1]), mk(ks[2]), mk(ks[3])
+        q0 = mk(ks[0])
         lse_t = jax.random.normal(ks[4], (bh, 1, n), jnp.float32) * 0.1 + 5.0
         delta_t = jax.random.normal(ks[5], (bh, 1, n), jnp.float32)
-        flops = 4 * 2 * bh * n * n * d
+        flops = 4 * 2 * bh * n * n * dp  # executed (padded-dim) FLOPs
         for bk, bq in candidates(n):
-            fn = jax.jit(
-                functools.partial(dkv_call, n=n, d=d, dkv_block_k=bk, block_q=bq)
-            )
+            def chained(iters, bk=bk, bq=bq):
+                def step(q, _):
+                    dk, dv = dkv_call(q, kf, vf, dof, lse_t, delta_t,
+                                      n=n, d_log=d_log, dkv_block_k=bk,
+                                      block_q=bq)
+                    # feed dk back so successive iterations chain; fold dv in
+                    # so neither output is DCE'd
+                    return (dk + 0.125 * dv).astype(q.dtype), None
+
+                def run(q):
+                    out, _ = jax.lax.scan(step, q, None, length=iters)
+                    return (out,)
+
+                return jax.jit(run)
+
             try:
-                out = fn(qf, kf, vf, dof, lse_t, delta_t)
-                jax.block_until_ready(out)
+                t_many = timed(chained(args.iters), (q0,), args.reps)
+                t_one = timed(chained(1), (q0,), args.reps)
             except Exception as e:  # noqa: BLE001 — record and move on
-                rows.append({"shape": [b, h, n, d], "bk": bk, "bq": bq,
+                rows.append({"shape": [b, h, n, dp], "bk": bk, "bq": bq,
                              "error": str(e)[:200]})
                 print(f"{label} bk={bk} bq={bq}: ERROR {str(e)[:120]}")
                 continue
-            best = float("inf")
-            for _ in range(args.reps):
-                t0 = time.perf_counter()
-                r = fn(qf, kf, vf, dof, lse_t, delta_t)
-                jax.device_get(r[0][0, 0, 0])  # one fetch: tunnel-proof sync
-                best = min(best, time.perf_counter() - t0)
-            tfs = flops / best / 1e12
-            rows.append({"shape": [b, h, n, d], "label": label, "bk": bk,
-                         "bq": bq, "ms": best * 1e3, "tfs": tfs})
-            print(f"{label} bk={bk:5d} bq={bq:5d}: {best*1e3:7.3f} ms "
+            per = (t_many - t_one) / (args.iters - 1)
+            tfs = flops / per / 1e12
+            rows.append({"shape": [b, h, n, dp], "label": label, "bk": bk,
+                         "bq": bq, "ms": per * 1e3, "tfs": tfs})
+            print(f"{label} bk={bk:5d} bq={bq:5d}: {per*1e3:7.3f} ms "
                   f"{tfs:6.1f} TF/s ({tfs/V5E_PEAK*1e12*100:.0f}% peak)")
     if args.out:
         with open(args.out, "w") as f:
