@@ -797,7 +797,8 @@ def _run(args):
     rollout_mfu = evals * flops_per_eval / rollout_sec / V5E_PEAK_FLOPS
     extras = {}
     for k in ("keyframe_sec", "interp_sec", "keyframe_evals_b1",
-              "interp_host_build_sec", "interp_fetch_scatter_sec"):
+              "interp_host_build_sec", "interp_device_wait_sec",
+              "interp_host_scatter_sec", "interp_fetch_scatter_sec"):
         if k in ro.stats:
             v = ro.stats[k]
             extras[k] = round(v, 2) if isinstance(v, float) else v
@@ -815,12 +816,20 @@ def _run(args):
         "window_compiles": ro._window_fn._cache_size(),
         **extras,
         # trace-backed structural ceiling: `python scripts/recompute_floor.py
-        # traces/forward_b2_rowwide.json` re-derives 2.29x from the committed
-        # v5e trace (attention promoted to its d=64 cap, other ops at their
-        # measured rates). Even AT the cap, exact-parity UViT3DPose math on
-        # one v5e tops out 2.29x this A100 baseline, not 3x.
-        "structural_cap_vs_baseline": "2.29x (recompute_floor.py on "
-                                      "traces/forward_b2_rowwide.json)",
+        # traces/window_interp_b2_r5.json` re-derives this from a v5e trace
+        # of the IN-SCAN window program (precomputed-cond eval + HG compose
+        # + DDIM update), fully attributed per op class: attention at its
+        # per-head-dim MXU cap, conv/dot fusions at measured rate (>=55%
+        # peak), copies at HBM bandwidth, elementwise at max(bandwidth,
+        # peak-FLOPs) -> 2.23x; with every layout copy eliminated outright
+        # -> 2.44x. The r4 "2.29x" rested on a raw-forward trace with 16%
+        # of device time unattributed; the corrected floor shows the tail
+        # is elementwise fusions already running at 591-760 GB/s of the
+        # 819 GB/s HBM bound, not harvestable headroom. Even at the cap,
+        # exact-parity UViT3DPose math on one v5e tops out below 3x.
+        "structural_cap_vs_baseline": "2.23x (2.44x if all layout copies "
+                                      "were free; recompute_floor.py on "
+                                      "traces/window_interp_b2_r5.json)",
     }
     emit(final_line)
 

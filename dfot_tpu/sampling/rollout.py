@@ -378,6 +378,15 @@ class DFoTRollout:
                     # non-blocking heartbeat (dispatch-time, not completion)
                     self.progress("window", {"windows": self.stats["windows"]})
             _tf = _time.perf_counter()
+            # device wait: the round's in-flight windows finish here; the
+            # host share (array fetch + scatter into xs) is timed separately
+            # so the emitted stats can't be misread as 94% host overhead.
+            for o in outs:
+                jax.block_until_ready(o)
+            _tw = _time.perf_counter()
+            self.stats["interp_device_wait_sec"] = (
+                self.stats.get("interp_device_wait_sec", 0.0) + _tw - _tf
+            )
             for (i0, i1), o in zip(groups, outs):
                 pred = np.asarray(o)
                 for ci, r0, r1 in chunk_rows(i0, i1):
@@ -386,8 +395,12 @@ class DFoTRollout:
                     for j, f in enumerate(frames):
                         xs[r0:r1, f] = pred[po : po + (r1 - r0), j]
                     known[r0:r1, frames] = True
-            # includes the wait for the round's in-flight windows — the
-            # pure host share is the part past the last window's finish
+            self.stats["interp_host_scatter_sec"] = (
+                self.stats.get("interp_host_scatter_sec", 0.0)
+                + _time.perf_counter() - _tw
+            )
+            # legacy combined stat (device wait + host scatter), kept for
+            # cross-round comparability of BENCH artifacts
             self.stats["interp_fetch_scatter_sec"] = (
                 self.stats.get("interp_fetch_scatter_sec", 0.0)
                 + _time.perf_counter() - _tf

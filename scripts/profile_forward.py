@@ -22,7 +22,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def parse_xplane(trace_dir: str, min_us: float = 5.0):
-    """Aggregate TPU op durations (us) by HLO op name from an xplane dump."""
+    """Aggregate TPU op durations (us) by HLO op name from an xplane dump.
+
+    Returns ``(per_op, per_cat, total, op_info)``. ``op_info`` maps the op
+    name to ``{"cat", "flops", "bytes"}`` read from the event METADATA stats
+    (the TPU xplane stores ``hlo_category`` / ``flops`` / ``bytes_accessed``
+    on XEventMetadata.stats, not on the per-occurrence event stats — the r4
+    parser looked at the wrong level, which is why the committed r4
+    summaries' per_category_ms degenerated to op names).
+    """
     os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
@@ -36,7 +44,9 @@ def parse_xplane(trace_dir: str, min_us: float = 5.0):
         xs.ParseFromString(f.read())
 
     per_op = collections.Counter()
+    per_op_count = collections.Counter()
     per_cat = collections.Counter()
+    op_info = {}
     total = 0.0
     for plane in xs.planes:
         if "TPU" not in plane.name and "tpu" not in plane.name.lower():
@@ -48,20 +58,101 @@ def parse_xplane(trace_dir: str, min_us: float = 5.0):
             # (DMA prefetches) overlap compute and would double-count
             if lname != "xla ops":
                 continue
-            for ev in line.events:
-                md = plane.event_metadata[ev.metadata_id]
-                dur_us = ev.duration_ps / 1e6
+            # The XLA Ops line NESTS control-flow wrappers (while /
+            # conditional / call) around their body ops as time-enclosing
+            # events — summing raw durations double-counts every op inside
+            # a scan. Compute SELF time with an interval stack: a parent's
+            # self time is its span minus its children's spans (= the
+            # loop's own bookkeeping, which we want to see as overhead).
+            evs = sorted(
+                ((ev.offset_ps, ev.duration_ps, ev.metadata_id)
+                 for ev in line.events),
+                key=lambda t: (t[0], -t[1]),
+            )
+            stack = []  # (end_ps, child_span_accum_index)
+            child_span = []
+            self_us = []  # (metadata_id, self_us) in visit order
+            for off, dur, mid in evs:
+                while stack and off >= stack[-1][0]:
+                    end, idx = stack.pop()
+                    self_us[idx] = (self_us[idx][0], self_us[idx][1]
+                                    - child_span[idx] / 1e6)
+                if stack:
+                    child_span[stack[-1][1]] += dur
+                self_us.append((mid, dur / 1e6))
+                child_span.append(0.0)
+                stack.append((off + dur, len(self_us) - 1))
+            while stack:
+                end, idx = stack.pop()
+                self_us[idx] = (self_us[idx][0], self_us[idx][1]
+                                - child_span[idx] / 1e6)
+            for mid, dur_us in self_us:
+                md = plane.event_metadata[mid]
                 name = md.name
                 per_op[name] += dur_us
+                per_op_count[name] += 1
                 total += dur_us
-                cat = None
-                for st in ev.stats:
-                    if stat_md.get(st.metadata_id) in ("hlo_category", "category"):
-                        cat = st.str_value or None
-                if cat is None:
-                    cat = md.display_name or name.split(".")[0]
-                per_cat[cat] += dur_us
-    return per_op, per_cat, total
+                if name not in op_info:
+                    info = {"cat": "", "flops": 0, "bytes": 0}
+                    for st in md.stats:
+                        sn = stat_md.get(st.metadata_id)
+                        if sn == "hlo_category":
+                            info["cat"] = st.str_value
+                        elif sn == "flops":
+                            info["flops"] = int(
+                                st.int64_value or st.uint64_value
+                            )
+                        elif sn == "bytes_accessed":
+                            info["bytes"] = int(
+                                st.int64_value or st.uint64_value
+                            )
+                    op_info[name] = info
+                per_cat[op_info[name]["cat"] or md.display_name] += dur_us
+    for name, c in per_op_count.items():
+        op_info[name]["count"] = c
+    return per_op, per_cat, total, op_info
+
+
+def build_summary(workload, batch, steps, wall_ms, per_op, per_cat, total,
+                  op_info, **extra):
+    """Committed-artifact JSON: EVERY op (no top-200 truncation — the r4
+    summaries silently folded 16% of device time into 'unattributed'), with
+    the xplane's own hlo_category / flops / bytes_accessed per op so
+    recompute_floor.py can roofline each op class instead of accepting the
+    tail at its measured rate."""
+    return {
+        "workload": workload,
+        "batch": batch,
+        "steps": steps,
+        "wall_ms_per_step": round(wall_ms, 3),
+        "traced_device_ms_per_step": round(total / 1e3 / steps, 3),
+        "per_category_ms": {
+            c: round(us / 1e3 / steps, 4) for c, us in per_cat.most_common()
+        },
+        "per_op": [
+            {
+                "name": name[:500],
+                "ms": round(us / 1e3 / steps, 4),
+                "cat": op_info.get(name, {}).get("cat", ""),
+                # occurrences per traced step (scan bodies execute the same
+                # op S times per step); gflops/mbytes are PER OCCURRENCE
+                "count": op_info.get(name, {}).get("count", steps) / steps,
+                "gflops": round(
+                    op_info.get(name, {}).get("flops", 0) / 1e9, 3
+                ),
+                "mbytes": round(
+                    op_info.get(name, {}).get("bytes", 0) / 1e6, 3
+                ),
+            }
+            for name, us in per_op.most_common()
+        ],
+        # legacy key for older floor scripts (now un-truncated)
+        "per_op_ms": {
+            name[:500]: round(us / 1e3 / steps, 4)
+            for name, us in per_op.most_common()
+        },
+        **extra,
+    }
 
 
 def main():
@@ -94,6 +185,15 @@ def main():
     ap.add_argument("--precomputed-cond", action="store_true",
                     help="trace the in-scan eval (precomputed pose "
                     "conditioning) instead of the raw standalone forward")
+    ap.add_argument("--window", choices=("interp", "keyframe"), default="",
+                    help="trace ONE FULL jitted sampling window — the "
+                    "program the 200-frame rollout actually executes "
+                    "(precomputed-cond eval + HG compose + DDIM update, "
+                    "all 50 scan steps): 'interp' = B x vanilla-HG "
+                    "interpolation window (the rollout's dominant program), "
+                    "'keyframe' = B=1 stabilized-vanilla sliding window. "
+                    "One profiled 'step' = one window = "
+                    "S*NFE*B B=1-equivalent denoiser evals")
     ap.add_argument("--summary-out", default="",
                     help="write a compact committed-artifact JSON (per-op / "
                     "per-category ms + wall clock) that "
@@ -127,7 +227,7 @@ def main():
         )
         wall = line["train_step_ms"] / 1e3
         workload = f"latent_train_{args.latent}"
-        per_op, per_cat, total = parse_xplane(trace_dir)
+        per_op, per_cat, total, op_info = parse_xplane(trace_dir)
         n = args.steps
         print(json.dumps({
             "batch": B,
@@ -136,21 +236,10 @@ def main():
             "train_mfu": line["train_mfu"],
         }))
         if args.summary_out:
-            summary = {
-                "workload": workload,
-                "batch": B,
-                "steps": n,
-                "bench_line": line,
-                "wall_ms_per_step": round(wall * 1e3, 3),
-                "traced_device_ms_per_step": round(total / 1e3 / n, 3),
-                "per_category_ms": {
-                    c: round(us / 1e3 / n, 4) for c, us in per_cat.most_common()
-                },
-                "per_op_ms": {
-                    name: round(us / 1e3 / n, 4)
-                    for name, us in per_op.most_common(200)
-                },
-            }
+            summary = build_summary(
+                workload, B, n, wall * 1e3, per_op, per_cat, total, op_info,
+                bench_line=line,
+            )
             os.makedirs(os.path.dirname(args.summary_out) or ".",
                         exist_ok=True)
             with open(args.summary_out, "w") as f:
@@ -168,8 +257,81 @@ def main():
     from bench import build_flagship
 
     model, variables, res, T, pose_dim = build_flagship(args.tiny)
+    extra_summary = {}
 
-    if args.train:
+    if args.window:
+        # the exact rollout-window program from bench.py's 200-frame
+        # workload: hoisted pose conditioning, HG-expanded batch, 50-step
+        # DDIM lax.scan with HG compose + update inside — NOT the raw
+        # standalone forward (which executes ~1.4e12 extra FLOPs of pose
+        # conditioning per eval that the rollout never runs per step)
+        import numpy as _np
+
+        from dfot_tpu.diffusion import DiffusionConfig, make_schedule
+        from dfot_tpu.guidance.history_guidance import HistoryGuidance
+        from dfot_tpu.models.uvit import precompute_pose_conditioning
+        from dfot_tpu.sampling import DFoTRollout, RolloutConfig
+        from dfot_tpu.utils.geometry import expand_pose_conditions_jax
+
+        steps_ddim = 5 if args.tiny else 50
+        dcfg = DiffusionConfig(timesteps=1000, sampling_timesteps=steps_ddim,
+                               objective="pred_v", clip_noise=20.0)
+        sched = make_schedule(dcfg)
+        cdt = jnp.float32 if args.tiny else jnp.bfloat16
+        ctype = "ray_encoding" if pose_dim == 180 else "ray"
+
+        def cond_transform(c, v):
+            maps = expand_pose_conditions_jax(c, ctype, res).astype(cdt)
+            return precompute_pose_conditioning(model, v, maps)
+
+        ro = DFoTRollout(
+            RolloutConfig(
+                max_tokens=T, x_shape=(res, res, 3),
+                external_cond_type="action",
+                keyframe_density=0.0625, sliding_context_len=T // 2,
+                interpolation_max_batch_size=B,
+                cond_transform=cond_transform,
+            ),
+            dcfg, sched,
+            lambda v, x, k, c, m: model.apply(v, x, k, c, m),
+        )
+        if args.window == "interp":
+            hg = HistoryGuidance.vanilla(
+                guidance_scale=1.5, timesteps=dcfg.timesteps)
+            mask = _np.zeros((B, T), dtype=_np.int64)
+            mask[:, 0] = mask[:, -1] = 1
+        else:
+            B = 1
+            hg = HistoryGuidance.stabilized_vanilla(
+                guidance_scale=4.0, stabilization_level=0.02,
+                timesteps=dcfg.timesteps)
+            mask = _np.zeros((B, T), dtype=_np.int64)
+            mask[:, : T // 2] = 1
+        ctx = jnp.zeros((B, T, res, res, 3))
+        pose = _np.zeros((B, T, 16), _np.float32)
+        pose[..., :4] = [1.0, 1.0, 0.5, 0.5]
+        pose[..., 4] = pose[..., 9] = pose[..., 14] = 1.0
+
+        def run_window(seed):
+            out = ro.sample_sequence(
+                variables, jax.random.PRNGKey(seed), B, length=T,
+                context=ctx, context_mask=mask, conditions=jnp.asarray(pose),
+                history_guidance=hg,
+            )
+            jax.block_until_ready(out)
+
+        ro.stats = {"denoiser_evals_b1": 0, "windows": 0}
+        run_window(0)  # compile + settle
+        evals_per_window = ro.stats["denoiser_evals_b1"]
+        extra_summary["evals_b1_per_step"] = evals_per_window
+        extra_summary["window_kind"] = args.window
+        extra_summary["ddim_steps"] = steps_ddim
+        t0 = time.perf_counter()
+        with jax.profiler.trace(trace_dir):
+            for i in range(args.steps):
+                run_window(i + 1)
+        wall = (time.perf_counter() - t0) / args.steps
+    elif args.train:
         import optax
 
         from dfot_tpu.diffusion import DiffusionConfig, make_schedule
@@ -263,7 +425,7 @@ def main():
             float(jnp.mean(xc))
         wall = (time.perf_counter() - t0) / args.steps
 
-    per_op, per_cat, total = parse_xplane(trace_dir)
+    per_op, per_cat, total, op_info = parse_xplane(trace_dir)
     n = args.steps
     print(json.dumps({
         "batch": B,
@@ -271,20 +433,12 @@ def main():
         "traced_device_ms_per_step": round(total / 1e3 / n, 2),
     }))
     if args.summary_out:
-        summary = {
-            "workload": "train_step" if args.train else "forward",
-            "batch": B,
-            "steps": n,
-            "wall_ms_per_step": round(wall * 1e3, 3),
-            "traced_device_ms_per_step": round(total / 1e3 / n, 3),
-            "per_category_ms": {
-                c: round(us / 1e3 / n, 4) for c, us in per_cat.most_common()
-            },
-            "per_op_ms": {
-                name: round(us / 1e3 / n, 4)
-                for name, us in per_op.most_common(200)
-            },
-        }
+        workload = ("train_step" if args.train
+                    else "window" if args.window else "forward")
+        summary = build_summary(
+            workload, B, n, wall * 1e3, per_op, per_cat, total, op_info,
+            **extra_summary,
+        )
         if not total:
             print(
                 "WARNING: zero traced device time — no TPU op plane in the "
