@@ -671,14 +671,31 @@ def _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k, interpret,
     # lse/delta are passed as (b*h, 1, n) rows: the (n, 1) -> (1, n) reshape
     # is order-preserving and the per-q-block DMA slice is a slim f32 row.
     #
-    # k-block width: each k-block program streams the ENTIRE q/dO from HBM,
-    # so the kernel's dominant HBM traffic is (n / dkv_block_k) * 2 * n * 128
-    # lanes per (batch*head). At the flagship's 8192-token level-2 layers a
-    # 128-wide k block costs ~2.3 GB per layer-pass (~3 ms of pure q/dO
-    # re-streaming at v5e bandwidth); 512-wide cuts it 4x. VMEM stays small:
-    # the four (blk_k, block_q) f32 score tiles at 512x512 are 4 MB.
-    dkv_block_k = next((bk for bk in (512, 256, 128) if n % bk == 0), 128)
+    # dkv blocks are picked INDEPENDENTLY of dq's block_q: the dkv kernel
+    # streams q/dO from HBM in block_q-sized chunks (purely internal), and
+    # each k-block program re-streams the ENTIRE q/dO — so bigger is better
+    # on both axes until scoped VMEM runs out. r5 chip sweep
+    # (scripts/bench_dkv_blocks.py, trace-timed, traces/dkv_blocks_r5.json):
+    #   n=8192 d64 : (bk 512, bq 1024) 7.30 ms 169 TF/s (vs (512,256) 10.7)
+    #   n=2048 d128: (bk 512, bq 1024) 0.48 ms 160 TF/s
+    #   n=1280 d72 : (bk 640, bq  640) 1.56 ms 138 TF/s (vs (256,640) 2.0 —
+    #                the non-pow2 divisor the r4 picker couldn't reach)
+    # Rule derived: bq = largest 128-mult divisor <= 1024, bk = largest
+    # 128-mult divisor whose scoped buffers (4 f32 score tiles + dbl-buffered
+    # q/dO + lse/delta + dk/dv accumulators) fit the 13 MB budget.
     d_pad = -d % 128
+    dp_ = d + d_pad
+    dkv_block_q = _fit_block(n, 1024)
+
+    def _dkv_vmem(bk, bq):
+        return (4 * bk * bq * 4 + 2 * 2 * bq * dp_ * q.dtype.itemsize
+                + 2 * 2 * 2 * bq * 4 + 2 * bk * dp_ * 4)
+
+    dkv_block_k = next(
+        (bk for bk in range(min(n, 1024), 127, -128)
+         if n % bk == 0 and _dkv_vmem(bk, dkv_block_q) <= 13 * 2**20),
+        128,
+    )
     qp, kp, vp, dop = (
         jnp.pad(a, ((0, 0), (0, 0), (0, d_pad))) for a in (qf, kf, vf, dof)
     )
@@ -687,8 +704,8 @@ def _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k, interpret,
 
     dk, dv = pl.pallas_call(
         functools.partial(
-            _flash_bwd_dkv_kernel, block_q=block_q, seq_len=n, causal=causal,
-            sm_scale=sm_scale, q_dtype=q.dtype,
+            _flash_bwd_dkv_kernel, block_q=dkv_block_q, seq_len=n,
+            causal=causal, sm_scale=sm_scale, q_dtype=q.dtype,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b * h, n, d + d_pad), k.dtype),

@@ -6,11 +6,14 @@ module was taught non-pow2 divisors (640). This times the dkv pallas_call at
 candidate (dkv_block_k, block_q) pairs so the picker can be fixed from
 measurement, not guesswork.
 
-Timing discipline: per-dispatch timing over the tunneled runtime pays a
-~25 ms round trip that drowns a ~1 ms kernel, so each variant is chained
-ITERS times inside one jitted lax.scan (dk feeds the next q — nothing is
-DCE'd) and the report is (t(ITERS) - t(1)) / (ITERS - 1), same method as
-bench_attention_inloop.py.
+Timing discipline (r5): the r4 scan-subtraction method — report
+(t(ITERS) - t(1)) / (ITERS - 1) — produced a flat ~24-30 ms/iter across a
+2.8x FLOP spread, i.e. it measured launch overhead, not the kernel (r4
+ADVICE.md, medium). The r5 method reads the kernel's DEVICE time straight
+from an xplane trace of the chained scan (profile_forward.parse_xplane,
+self-time parse): per-iter = the dkv custom-call's summed self time /
+ITERS, immune to tunnel round trips and host gaps. A FLOP-proportionality
+cross-check (--iters vs --iters/2) is printed per shape.
 
 All shapes run at the 128-lane-padded head dim exactly like production
 (_flash_backward pads d to -d % 128 before the dkv call; unpadded d=64 HBM
@@ -81,8 +84,12 @@ def dkv_call(qf, kf, vf, dof, lse_t, delta_t, n, d_log, dkv_block_k, block_q):
     )(qf, kf, vf, dof, lse_t, delta_t)
 
 
-def candidates(n):
-    """All (dkv_block_k, block_q) pairs worth timing at this n."""
+def candidates(n, dp=128):
+    """All (dkv_block_k, block_q) pairs worth timing at this n.
+
+    ``dp`` is the PADDED head dim the kernel actually allocates (r4 ADVICE
+    low: the gate hardcoded 128-lane scratch and omitted the lse/delta
+    buffers, silently admitting over-budget pairs for dp > 128 shapes)."""
     ks = sorted(
         {bk for bk in (128, 256, 320, 512, 640, 1024) if n % bk == 0},
         reverse=True,
@@ -91,23 +98,33 @@ def candidates(n):
     pairs = []
     for bk in ks:
         for bq in qs:
-            # scoped VMEM: 4 f32 score tiles + double-buffered q/dO + dk/dv acc
-            vmem = 4 * bk * bq * 4 + 2 * 2 * bq * 128 * 2 + 2 * bk * 128 * 4
+            # scoped VMEM: 4 f32 score tiles + double-buffered q/dO (bf16)
+            # + double-buffered lse/delta f32 rows + dk/dv f32 accumulators
+            vmem = (4 * bk * bq * 4 + 2 * 2 * bq * dp * 2
+                    + 2 * 2 * 2 * bq * 4 + 2 * bk * dp * 4)
             if vmem <= 13 * 2**20:
                 pairs.append((bk, bq))
     return pairs
 
 
-def timed(fn, args, reps):
+def device_ms_per_iter(fn, args, iters):
+    """Run fn once under an xplane trace; return the dkv custom-call's
+    summed device SELF time / iters (ms), plus total device ms."""
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from profile_forward import parse_xplane
+    from recompute_floor import _is_attention_op
+
     out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        r = fn(*args)
-        jax.device_get(r[0].ravel()[0])
-        best = min(best, time.perf_counter() - t0)
-    return best
+    jax.block_until_ready(out)  # compile + settle
+    td = tempfile.mkdtemp(prefix="dkv_sweep_")
+    with jax.profiler.trace(td):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    per_op, _, total, _ = parse_xplane(td)
+    kern_us = sum(us for name, us in per_op.items() if _is_attention_op(name))
+    return kern_us / 1e3 / iters, total / 1e3
 
 
 def main():
@@ -129,7 +146,8 @@ def main():
         lse_t = jax.random.normal(ks[4], (bh, 1, n), jnp.float32) * 0.1 + 5.0
         delta_t = jax.random.normal(ks[5], (bh, 1, n), jnp.float32)
         flops = 4 * 2 * bh * n * n * dp  # executed (padded-dim) FLOPs
-        for bk, bq in candidates(n):
+        first = True
+        for bk, bq in candidates(n, dp):
             def chained(iters, bk=bk, bq=bq):
                 def step(q, _):
                     dk, dv = dkv_call(q, kf, vf, dof, lse_t, delta_t,
@@ -146,18 +164,31 @@ def main():
                 return jax.jit(run)
 
             try:
-                t_many = timed(chained(args.iters), (q0,), args.reps)
-                t_one = timed(chained(1), (q0,), args.reps)
+                per_ms, _dev = device_ms_per_iter(
+                    chained(args.iters), (q0,), args.iters
+                )
+                if first:
+                    # FLOP-proportionality check: halving iters must halve
+                    # the kernel's device time (catches overhead-dominated
+                    # readings like the r4 scan-subtraction artifact)
+                    half_ms, _ = device_ms_per_iter(
+                        chained(max(args.iters // 2, 1)), (q0,),
+                        max(args.iters // 2, 1),
+                    )
+                    ratio = half_ms / per_ms if per_ms else float("nan")
+                    print(f"{label}: per-iter stability check "
+                          f"(iters/2 vs iters): {ratio:.3f}x (want ~1.0)")
+                    first = False
             except Exception as e:  # noqa: BLE001 — record and move on
                 rows.append({"shape": [b, h, n, dp], "bk": bk, "bq": bq,
                              "error": str(e)[:200]})
                 print(f"{label} bk={bk} bq={bq}: ERROR {str(e)[:120]}")
                 continue
-            per = (t_many - t_one) / (args.iters - 1)
+            per = per_ms * 1e-3
             tfs = flops / per / 1e12
             rows.append({"shape": [b, h, n, dp], "label": label, "bk": bk,
-                         "bq": bq, "ms": per * 1e3, "tfs": tfs})
-            print(f"{label} bk={bk:5d} bq={bq:5d}: {per*1e3:7.3f} ms "
+                         "bq": bq, "ms": per_ms, "tfs": tfs})
+            print(f"{label} bk={bk:5d} bq={bq:5d}: {per_ms:7.3f} ms "
                   f"{tfs:6.1f} TF/s ({tfs/V5E_PEAK*1e12*100:.0f}% peak)")
     if args.out:
         with open(args.out, "w") as f:

@@ -67,7 +67,9 @@ def classify_attention(hlo: str):
     """Return (kind, bh, S, d_logical) for an attention custom-call, or
     None when the shapes don't match any known kernel signature."""
     outs = _shapes(hlo)
-    if not outs:
+    if not outs or any(len(o[1]) != 3 for o in outs[:2]):
+        # the train program also carries non-pallas custom-calls (0-ms
+        # weight-layout transforms with 2D/4D shapes) — not kernels
         return None
     if len(outs) >= 2 and outs[1][0] == "f32" and 1 in outs[1][1]:
         # forward: (o, lse) with lse f32[bh,1,S] (row) or f32[bh,S,1]
@@ -77,12 +79,24 @@ def classify_attention(hlo: str):
         o = outs[0][1]
         d = min(o[1:])
         return ("fwd", bh, S, d)
-    if len(outs) == 1:
+    if len(outs) == 1 and outs[0][1][1] in LEVEL_HEAD_DIM:
+        # dq emits (bh, S, d) with a known sequence length, and takes q as
+        # its first operand with the SAME shape — XLA also emits 0-ms
+        # concat/buffer custom-calls with this output shape whose operands
+        # are (bh/k, S, d) slices; the operand-shape check rejects them
+        rhs = hlo.split(" custom-call(", 1)
+        first_operand = _SHAPE.search(rhs[1]) if len(rhs) > 1 else None
+        if first_operand is None or (
+            tuple(int(x) for x in first_operand.group(2).split(",") if x)
+            != outs[0][1]
+        ):
+            return None
         bh, S, d = outs[0][1]
         return ("dq", bh, S, d)
     if len(outs) == 2 and outs[0][0] == outs[1][0] and outs[0][1] == outs[1][1]:
         bh, S, dp = outs[0][1]
-        return ("dkv", bh, S, LEVEL_HEAD_DIM.get(S, dp))
+        if S in LEVEL_HEAD_DIM:
+            return ("dkv", bh, S, LEVEL_HEAD_DIM.get(S, dp))
     return None
 
 
