@@ -694,7 +694,7 @@ def _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k, interpret,
     dkv_block_k = next(
         (bk for bk in range(min(n, 1024), 127, -128)
          if n % bk == 0 and _dkv_vmem(bk, dkv_block_q) <= 13 * 2**20),
-        128,
+        _fit_block(n, 128),  # n < 128: one whole-sequence block
     )
     qp, kp, vp, dop = (
         jnp.pad(a, ((0, 0), (0, 0), (0, d_pad))) for a in (qf, kf, vf, dof)
