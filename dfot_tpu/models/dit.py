@@ -61,6 +61,16 @@ class Attention(nn.Module):
         B, N, C = x.shape
         head_dim = self.dim // self.num_heads
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
+        from ..ops.qkv_prep import attention_from_packed_qkv, fused_qkv_eligible
+
+        if fused_qkv_eligible(N, head_dim):
+            # one Pallas pass for split + RoPE + lane-pad (see ops/qkv_prep.py)
+            from .remat import tag_attn_out
+
+            out = tag_attn_out(attention_from_packed_qkv(
+                qkv, self.num_heads, head_dim, self.rope, causal=self.causal
+            ))
+            return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = [
             jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)

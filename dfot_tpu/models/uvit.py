@@ -44,9 +44,15 @@ class RMSNorm(nn.Module):
     eps: float = 1e-6
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, scale_only: bool = False) -> jax.Array:
         dim = x.shape[-1]
         scale = self.param("weight", nn.initializers.ones, (dim,))
+        if scale_only:
+            # fused qkv-prep path: the norm runs inside the Pallas kernel
+            # with the scale folded into the RoPE tables (ops/qkv_prep.py);
+            # this branch only owns the parameter. x is a (dim,)-shaped
+            # dummy there, so the tree stays identical on every backend.
+            return scale
         xf = x.astype(jnp.float32)
         normed = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + self.eps)
         return normed.astype(x.dtype) * scale.astype(x.dtype)
@@ -141,14 +147,24 @@ class AxialAttention(nn.Module):
         d = self.dim // self.heads
         h = FiLMNorm(self.dtype, name="norm")(x, emb)
         qkv = nn.Dense(3 * self.dim, use_bias=False, dtype=self.dtype, name="proj")(h)
-        qkv = qkv.reshape(B, N, 3, self.heads, d)
-        q, k, v = [jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)]
-        q = RMSNorm(name="q_norm")(q)
-        k = RMSNorm(name="k_norm")(k)
-        if self.rope is not None:
-            q, k = apply_rope(q, self.rope), apply_rope(k, self.rope)
-        o = tag_attn_out(attention(q, k, v))
-        o = jnp.moveaxis(o, 1, 2).reshape(B, N, C)
+        from ..ops.qkv_prep import attention_from_packed_qkv, fused_qkv_eligible
+
+        if fused_qkv_eligible(N, d):
+            dummy = jnp.zeros((d,), qkv.dtype)
+            o = tag_attn_out(attention_from_packed_qkv(
+                qkv, self.heads, d, self.rope, norm=True,
+                q_scale=RMSNorm(name="q_norm")(dummy, scale_only=True),
+                k_scale=RMSNorm(name="k_norm")(dummy, scale_only=True),
+            ))
+        else:
+            qkv = qkv.reshape(B, N, 3, self.heads, d)
+            q, k, v = [jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)]
+            q = RMSNorm(name="q_norm")(q)
+            k = RMSNorm(name="k_norm")(k)
+            if self.rope is not None:
+                q, k = apply_rope(q, self.rope), apply_rope(k, self.rope)
+            o = tag_attn_out(attention(q, k, v))
+            o = jnp.moveaxis(o, 1, 2).reshape(B, N, C)
         out = nn.Dense(
             self.dim, use_bias=False,
             kernel_init=nn.initializers.zeros, dtype=self.dtype, name="out",
@@ -200,15 +216,25 @@ class TransformerBlock(nn.Module):
         h = FiLMNorm(self.dtype, name="norm")(x, emb, pose_mod, pose_scale)
         fused = nn.Dense(3 * dim + mlp_dim, dtype=self.dtype, name="fused_proj")(h)
         qkv, mlp_h = fused[..., : 3 * dim], fused[..., 3 * dim :]
-        qkv = qkv.reshape(B, N, 3, heads, d)
-        q, k, v = [jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)]
-        q = RMSNorm(name="q_norm")(q)
-        k = RMSNorm(name="k_norm")(k)
         rope = self.rope_ax2 if self.use_axial else self.rope
-        if rope is not None:
-            q, k = apply_rope(q, rope), apply_rope(k, rope)
-        o = tag_attn_out(attention(q, k, v))
-        o = jnp.moveaxis(o, 1, 2).reshape(B, N, C)
+        from ..ops.qkv_prep import attention_from_packed_qkv, fused_qkv_eligible
+
+        if fused_qkv_eligible(N, d):
+            dummy = jnp.zeros((d,), qkv.dtype)
+            o = tag_attn_out(attention_from_packed_qkv(
+                qkv, heads, d, rope, norm=True,
+                q_scale=RMSNorm(name="q_norm")(dummy, scale_only=True),
+                k_scale=RMSNorm(name="k_norm")(dummy, scale_only=True),
+            ))
+        else:
+            qkv = qkv.reshape(B, N, 3, heads, d)
+            q, k, v = [jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)]
+            q = RMSNorm(name="q_norm")(q)
+            k = RMSNorm(name="k_norm")(k)
+            if rope is not None:
+                q, k = apply_rope(q, rope), apply_rope(k, rope)
+            o = tag_attn_out(attention(q, k, v))
+            o = jnp.moveaxis(o, 1, 2).reshape(B, N, C)
         x = residual + nn.Dense(
             dim, kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
             dtype=self.dtype, name="attn_out",
