@@ -63,7 +63,7 @@ class Attention(nn.Module):
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
         from ..ops.qkv_prep import attention_from_packed_qkv, fused_qkv_eligible
 
-        if fused_qkv_eligible(N, head_dim):
+        if fused_qkv_eligible(N, head_dim, self.num_heads):
             # one Pallas pass for split + RoPE + lane-pad (see ops/qkv_prep.py)
             from .remat import tag_attn_out
 
@@ -140,14 +140,23 @@ class DiTBlock(nn.Module):
         # (dit_blocks.py:505-510) — i.e. the skip adds to modulate(ln(x)),
         # NOT to the block input. Checkpoint parity requires matching this.
         ln = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype)
+        from ..ops.ln_modulate import ln_modulate, ln_modulate_eligible
+
+        def norm_mod(t, sh, sc):
+            # fused single-pass LN+modulate (ops/ln_modulate.py) when the
+            # conditioning is token-wise and shapes tile; else the chain
+            if sh.shape == t.shape and ln_modulate_eligible(t.shape[1], t.shape[2]):
+                return ln_modulate(t, sh, sc)
+            return modulate(ln(t), sh, sc)
+
         shift, scale, gate = AdaModulation(self.dim, 3, self.dtype, name="mod_attn")(c)
-        h = modulate(ln(x), shift, scale)
+        h = norm_mod(x, shift, scale)
         x = h + gate * Attention(
             self.dim, self.num_heads, self.rope, self.causal, self.dtype, name="attn"
         )(h)
         if self.mlp_ratio is not None and self.mlp_ratio > 0:
             shift2, scale2, gate2 = AdaModulation(self.dim, 3, self.dtype, name="mod_mlp")(c)
-            h = modulate(ln(x), shift2, scale2)
+            h = norm_mod(x, shift2, scale2)
             x = h + gate2 * Mlp(
                 self.dim, int(self.dim * self.mlp_ratio), self.dtype, name="mlp"
             )(h)
@@ -165,7 +174,12 @@ class FinalLayer(nn.Module):
     def __call__(self, x: jax.Array, c: jax.Array) -> jax.Array:
         shift, scale = AdaModulation(self.dim, 2, self.dtype, name="mod")(c)
         ln = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype)
-        x = modulate(ln(x), shift, scale)
+        from ..ops.ln_modulate import ln_modulate, ln_modulate_eligible
+
+        if shift.shape == x.shape and ln_modulate_eligible(x.shape[1], x.shape[2]):
+            x = ln_modulate(x, shift, scale)
+        else:
+            x = modulate(ln(x), shift, scale)
         return nn.Dense(
             self.out_dim,
             kernel_init=nn.initializers.zeros,

@@ -149,7 +149,7 @@ class AxialAttention(nn.Module):
         qkv = nn.Dense(3 * self.dim, use_bias=False, dtype=self.dtype, name="proj")(h)
         from ..ops.qkv_prep import attention_from_packed_qkv, fused_qkv_eligible
 
-        if fused_qkv_eligible(N, d):
+        if fused_qkv_eligible(N, d, self.heads):
             dummy = jnp.zeros((d,), qkv.dtype)
             o = tag_attn_out(attention_from_packed_qkv(
                 qkv, self.heads, d, self.rope, norm=True,
@@ -219,7 +219,7 @@ class TransformerBlock(nn.Module):
         rope = self.rope_ax2 if self.use_axial else self.rope
         from ..ops.qkv_prep import attention_from_packed_qkv, fused_qkv_eligible
 
-        if fused_qkv_eligible(N, d):
+        if fused_qkv_eligible(N, d, heads):
             dummy = jnp.zeros((d,), qkv.dtype)
             o = tag_attn_out(attention_from_packed_qkv(
                 qkv, heads, d, rope, norm=True,

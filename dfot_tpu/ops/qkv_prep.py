@@ -204,11 +204,25 @@ def _bwd_kernel(qkv_ref, cq_ref, sq_ref, ck_ref, sk_ref,
                 ref[...] = jnp.zeros_like(ref)
 
 
-def _pick_bn(n: int) -> int:
-    for bn in (512, 256, 128):
-        if n % bn == 0:
+def _pick_bn(n: int, bytes_per_token: int = 0,
+             budget: int = 7 * 2 ** 20) -> int:
+    """Largest 128-multiple divisor of n whose per-block working set fits
+    scoped VMEM. ``bytes_per_token`` is the sum over all in/out block rows
+    of one grid step; Mosaic double-buffers every block, so the budget is
+    half the 16 MB scoped limit (minus headroom for stack temporaries —
+    measured OOM at 23.4 MB total for bn=640, W=3456, H=16, DP=128)."""
+    for bn in range(min(n, 1024), 0, -128):
+        if n % bn == 0 and bn * bytes_per_token <= budget:
             return bn
     return 0
+
+
+def _prep_bytes_per_token(W: int, H: int, D: int, DP: int,
+                          itemsize: int = 2) -> int:
+    """Backward-pass working set per token row (the fwd is strictly
+    smaller): qkv in + dqkv out + 3 head-major cotangent blocks + 4 bf16
+    tables + 4 f32 table-cotangent blocks."""
+    return (2 * W + 3 * H * DP + 4 * D) * itemsize + 4 * D * 4
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -308,8 +322,8 @@ def qkv_prep(
     assert W == 3 * heads * head_dim, (W, heads, head_dim)
     assert head_dim % 2 == 0
     DP = d_out or head_dim
-    bn = _pick_bn(N)
-    assert bn, f"N={N} not divisible by a 128-multiple block"
+    bn = _pick_bn(N, _prep_bytes_per_token(W, heads, head_dim, DP))
+    assert bn, f"N={N} not divisible by a VMEM-feasible 128-multiple block"
     dt = qkv.dtype
     cos = cos.astype(jnp.float32)
     sin = sin_signed.astype(jnp.float32)
@@ -344,13 +358,15 @@ def force_fused_interpret(enabled: bool) -> None:
     _TEST_INTERPRET = enabled
 
 
-def fused_qkv_eligible(n: int, head_dim: int) -> bool:
+def fused_qkv_eligible(n: int, head_dim: int, heads: int) -> bool:
     """True when attention_from_packed_qkv will take the fused kernel path
     (mirrors the gates of ops.attention's Pallas dispatch)."""
     from . import attention as A
 
+    dp = head_dim + (-head_dim % 64)
+    bpt = _prep_bytes_per_token(3 * heads * head_dim, heads, head_dim, dp)
     if _TEST_INTERPRET:
-        return _pick_bn(n) > 0
+        return _pick_bn(n, bpt) > 0
     if not _FUSED_QKV or jax.default_backend() != "tpu":
         return False
     if A.attention_capture_enabled():
@@ -360,8 +376,7 @@ def fused_qkv_eligible(n: int, head_dim: int) -> bool:
         size = mesh.shape[axis]
         if size > 1 and n % size == 0 and n // size >= 128:
             return False  # ring attention owns this shape
-    dp = head_dim + (-head_dim % 64)
-    return _pick_bn(n) > 0 and A._blocks_ok(n, dp)
+    return _pick_bn(n, bpt) > 0 and A._blocks_ok(n, dp)
 
 
 def attention_from_packed_qkv(
@@ -480,7 +495,7 @@ def attn_out_collect(o: jax.Array, head_dim: int,
     """(B, H, N, DP) flash output -> (B, N, H*head_dim): the lane-slice +
     head transpose + merge in one pass (XLA otherwise materializes each)."""
     B, H, N, DP = o.shape
-    bn = _pick_bn(N)
+    bn = _pick_bn(N, (H * DP + H * head_dim) * o.dtype.itemsize)
     assert bn, N
     spec = _CSpec(H, head_dim, DP, bn, interpret)
     return _collect_p(spec, o)

@@ -181,6 +181,9 @@ def main():
                     help="per-block gradient checkpointing for --latent "
                     "(default off — the b8 no-remat config is the measured "
                     "winner)")
+    ap.add_argument("--flat-opt", action="store_true",
+                    help="optax.flatten the --latent optimizer (one raveled "
+                    "vector instead of per-leaf updates; small-op-tail A/B)")
     ap.add_argument("--out", default="")
     ap.add_argument("--precomputed-cond", action="store_true",
                     help="trace the in-scan eval (precomputed pose "
@@ -223,7 +226,7 @@ def main():
         line = bench_latent_train(
             model_kind=args.latent, batch=B, steps=args.steps,
             tiny=args.tiny, remat_policy=policy, remat=args.latent_remat,
-            trace_dir=trace_dir,
+            flat_opt=args.flat_opt, trace_dir=trace_dir,
         )
         wall = line["train_step_ms"] / 1e3
         workload = f"latent_train_{args.latent}"

@@ -163,4 +163,4 @@ def test_eligibility_is_off_on_cpu():
     from dfot_tpu.ops.qkv_prep import fused_qkv_eligible
 
     if jax.default_backend() != "tpu":
-        assert not fused_qkv_eligible(8192, 64)
+        assert not fused_qkv_eligible(8192, 64, 9)
