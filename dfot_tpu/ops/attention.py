@@ -295,16 +295,19 @@ def _flash_forward(
 
     qf = q.reshape(b * h, n, d)
     kf = k.reshape(b * h, n, d)
-    vf = v.reshape(b * h, n, d)
+    vf = v.reshape(b * h, n, v.shape[-1])
     # MXU-computed normalizer (see _flash_kernel): free for d % 128 == 64
     # (the pv output tile was already lane-padded); for full-width heads the
-    # extra column would double the pv dot's lane tiles, so keep the VPU sum
-    aug = (d % 128) == 64
+    # extra column would double the pv dot's lane tiles, so keep the VPU sum.
+    # v may arrive with the ones lane ALREADY appended (qkv_prep aug_v writes
+    # it in the same store) — skip the per-eval HBM concat then.
+    pre_aug = v.shape[-1] == d + 1
+    aug = pre_aug or (d % 128) == 64
     dv = d + 1 if aug else d
 
     if variant == "pvt":
-        vt = jnp.swapaxes(vf, 1, 2)  # (b*h, d, n)
-        if aug:
+        vt = jnp.swapaxes(vf, 1, 2)  # (b*h, d[+1], n)
+        if aug and not pre_aug:
             vt = jnp.concatenate(
                 [vt, jnp.ones((b * h, 1, n), vt.dtype)], axis=1
             )  # (b*h, d+1, n), ones row -> l
@@ -335,7 +338,7 @@ def _flash_forward(
             return out, jnp.swapaxes(lse, 1, 2).reshape(b, h, n, 1)
         return out
 
-    if aug:
+    if aug and not pre_aug:
         vf = jnp.concatenate(
             [vf, jnp.ones((b * h, n, 1), vf.dtype)], axis=-1
         )  # (b*h, n, d+1), ones column -> l
@@ -600,6 +603,13 @@ def _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k, interpret,
     b, h, n, d = q.shape
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
+    # v may carry the pre-appended ones normalizer lane (qkv_prep aug_v);
+    # the math below wants the plain d lanes — slice it off, and pad the dv
+    # cotangent back to the input shape at the end (the ones lane is a
+    # constant, so its cotangent is discarded by every producer).
+    pre_aug = v.shape[-1] == d + 1
+    if pre_aug:
+        v = v[..., :d]
     # the backward holds more live f32 tiles (s, p, dp, ds) than the forward;
     # cap blocks harder so long sequences stay inside scoped VMEM
     cap = _BWD_CAP_SHORT if n <= 4096 else _BWD_CAP_LONG
@@ -728,11 +738,10 @@ def _flash_backward(q, k, v, out, lse, g, causal, block_q, block_k, interpret,
     )(qp, kp, vp, dop, lse_t, delta_t)
 
     shape = (b, h, n, d)
-    return (
-        dq.reshape(shape),
-        dk[..., :d].reshape(shape),
-        dv[..., :d].reshape(shape),
-    )
+    dv = dv[..., :d].reshape(shape)
+    if pre_aug:
+        dv = jnp.pad(dv, [(0, 0)] * 3 + [(0, 1)])
+    return (dq.reshape(shape), dk[..., :d].reshape(shape), dv)
 
 
 def _xla_attention(q, k, v, causal):

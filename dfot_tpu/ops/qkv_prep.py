@@ -103,6 +103,7 @@ class _Spec(NamedTuple):
     tables_diff: bool
     block_n: int
     interpret: bool
+    aug_v: bool = False  # append a ones lane to v (flash normalizer column)
 
 
 def _prep_kernel(qkv_ref, cq_ref, sq_ref, ck_ref, sk_ref,
@@ -127,7 +128,13 @@ def _prep_kernel(qkv_ref, cq_ref, sq_ref, ck_ref, sk_ref,
                     x = (xf * r).astype(tile.dtype)
                 cos, sin = tabs[s]
                 x = x * cos + _kernel_swap(x, P) * sin
-            heads.append(jnp.pad(x, pad) if DP > D else x)
+            if s == 2 and spec.aug_v:
+                # ones normalizer lane for the flash pv dot — written in the
+                # same store the kernel already does (no HBM pad op)
+                x = jnp.pad(x, [(0, 0), (0, 1)], constant_values=1.0)
+            elif DP > D:
+                x = jnp.pad(x, pad)
+            heads.append(x)
         outs[s][0] = jnp.stack(heads, axis=0)
 
 
@@ -233,9 +240,13 @@ def _qkv_prep_p(spec: _Spec, qkv, cq, sq, ck, sk):
 def _pallas_prep(spec: _Spec, qkv, cq, sq, ck, sk):
     B, N, W = qkv.shape
     H, D, DP, bn = spec.heads, spec.head_dim, spec.d_out, spec.block_n
+    DV = DP + 1 if spec.aug_v else DP
     grid = (B, N // bn)
     tab_spec = pl.BlockSpec((bn, D), lambda b, j: (j, 0), memory_space=_VMEM)
-    out_shape = jax.ShapeDtypeStruct((B, H, N, DP), qkv.dtype)
+    qk_spec = pl.BlockSpec((1, H, bn, DP), lambda b, j: (b, 0, j, 0),
+                           memory_space=_VMEM)
+    v_spec = pl.BlockSpec((1, H, bn, DV), lambda b, j: (b, 0, j, 0),
+                          memory_space=_VMEM)
     return pl.pallas_call(
         functools.partial(_prep_kernel, spec=spec),
         grid=grid,
@@ -243,11 +254,12 @@ def _pallas_prep(spec: _Spec, qkv, cq, sq, ck, sk):
             pl.BlockSpec((1, bn, W), lambda b, j: (b, j, 0), memory_space=_VMEM),
             tab_spec, tab_spec, tab_spec, tab_spec,
         ],
-        out_specs=(
-            pl.BlockSpec((1, H, bn, DP), lambda b, j: (b, 0, j, 0),
-                         memory_space=_VMEM),
-        ) * 3,
-        out_shape=(out_shape,) * 3,
+        out_specs=(qk_spec, qk_spec, v_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, N, DP), qkv.dtype),
+            jax.ShapeDtypeStruct((B, H, N, DP), qkv.dtype),
+            jax.ShapeDtypeStruct((B, H, N, DV), qkv.dtype),
+        ),
         interpret=spec.interpret,
     )(qkv, cq, sq, ck, sk)
 
@@ -262,10 +274,13 @@ def _qkv_prep_bwd(spec: _Spec, res, g):
     dq, dk, dv = g
     B, N, W = qkv.shape
     H, D, DP, bn = spec.heads, spec.head_dim, spec.d_out, spec.block_n
+    DV = DP + 1 if spec.aug_v else DP
     grid = (N // bn, B)  # batch innermost: table-grad blocks accumulate
     tab_spec = pl.BlockSpec((bn, D), lambda j, b: (j, 0), memory_space=_VMEM)
     g_spec = pl.BlockSpec((1, H, bn, DP), lambda j, b: (b, 0, j, 0),
                           memory_space=_VMEM)
+    gv_spec = pl.BlockSpec((1, H, bn, DV), lambda j, b: (b, 0, j, 0),
+                           memory_space=_VMEM)
     dtab_shape = jax.ShapeDtypeStruct((N, D), jnp.float32)
     dqkv, dcq, dsq, dck, dsk = pl.pallas_call(
         functools.partial(_bwd_kernel, spec=spec),
@@ -273,7 +288,7 @@ def _qkv_prep_bwd(spec: _Spec, res, g):
         in_specs=[
             pl.BlockSpec((1, bn, W), lambda j, b: (b, j, 0), memory_space=_VMEM),
             tab_spec, tab_spec, tab_spec, tab_spec,
-            g_spec, g_spec, g_spec,
+            g_spec, g_spec, gv_spec,
         ],
         out_specs=(
             pl.BlockSpec((1, bn, W), lambda j, b: (b, j, 0), memory_space=_VMEM),
@@ -307,9 +322,11 @@ def qkv_prep(
     norm: bool = False,
     eps: float = 1e-6,
     d_out: Optional[int] = None,
+    aug_v: bool = False,
     interpret: bool = False,
 ):
-    """(B, N, 3*H*D) packed qkv -> q, k, v each (B, H, N, d_out).
+    """(B, N, 3*H*D) packed qkv -> q, k (B, H, N, d_out), v (B, H, N,
+    d_out [+1 with ``aug_v``]).
 
     ``cos``/``sin_signed``: (N, D) tables, sign already folded
     (:func:`signed_sin`). With ``norm`` the kernel applies per-head
@@ -317,11 +334,15 @@ def qkv_prep(
     ``q_scale``/``k_scale`` (folded into the tables here, differentiably).
     ``d_out`` lane-pads each head with zeros (e.g. 72 -> 128); pass the
     TRUE-scale sm_scale = 1/sqrt(head_dim) to the attention kernel after.
+    ``aug_v`` appends the flash kernels' ones normalizer lane to v in the
+    same store (otherwise a per-eval HBM concat in _flash_forward,
+    ~88 ms/window in the flagship rollout trace); requires d_out == D.
     """
     B, N, W = qkv.shape
     assert W == 3 * heads * head_dim, (W, heads, head_dim)
     assert head_dim % 2 == 0
     DP = d_out or head_dim
+    assert not (aug_v and DP != head_dim), "aug_v is for unpadded heads only"
     bn = _pick_bn(N, _prep_bytes_per_token(W, heads, head_dim, DP))
     assert bn, f"N={N} not divisible by a VMEM-feasible 128-multiple block"
     dt = qkv.dtype
@@ -338,7 +359,8 @@ def qkv_prep(
     else:
         ck, sk = cos.astype(dt), sin.astype(dt)
     tables_diff = q_scale is not None or k_scale is not None
-    spec = _Spec(heads, head_dim, DP, norm, eps, tables_diff, bn, interpret)
+    spec = _Spec(heads, head_dim, DP, norm, eps, tables_diff, bn, interpret,
+                 aug_v)
     return _qkv_prep_p(spec, qkv, cq, sq, ck, sk)
 
 
@@ -410,10 +432,13 @@ def attention_from_packed_qkv(
     else:
         cos = jnp.ones((N, D), jnp.float32)
         sin = jnp.zeros((N, D), jnp.float32)
+    # for d % 128 == 64 heads the flash kernel wants v with a ones
+    # normalizer lane (see _flash_kernel aug) — write it here for free
+    aug_v = DP == D and (DP % 128) == 64
     q, k, v = qkv_prep(
         qkv, heads, D, cos, sin,
         q_scale=q_scale, k_scale=k_scale, norm=norm, eps=eps, d_out=DP,
-        interpret=_TEST_INTERPRET,
+        aug_v=aug_v, interpret=_TEST_INTERPRET,
     )
     bq, bk = _pick_blocks(N)
     out = flash_attention(
@@ -504,6 +529,7 @@ def attn_out_collect(o: jax.Array, head_dim: int,
 def reference_qkv_prep(
     qkv, heads, head_dim, cos, sin_signed,
     *, q_scale=None, k_scale=None, norm=False, eps=1e-6, d_out=None,
+    aug_v=False,
 ):
     """Pure-jnp mirror of :func:`qkv_prep` (CPU fallback + parity oracle)."""
     B, N, W = qkv.shape
@@ -529,4 +555,6 @@ def reference_qkv_prep(
     if DP > D:
         pad = [(0, 0)] * 3 + [(0, DP - D)]
         q, k, v = (jnp.pad(a, pad) for a in (q, k, v))
+    if aug_v:
+        v = jnp.pad(v, [(0, 0)] * 3 + [(0, 1)], constant_values=1.0)
     return q, k, v

@@ -164,3 +164,86 @@ def test_eligibility_is_off_on_cpu():
 
     if jax.default_backend() != "tpu":
         assert not fused_qkv_eligible(8192, 64, 9)
+
+
+def test_prep_aug_v_ones_lane():
+    """aug_v appends the flash normalizer ones lane to v in-kernel."""
+    rng = np.random.default_rng(6)
+    B, N, H, d = 2, 256, 3, 64
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3 * H * d)), jnp.float32)
+    cos, sin = _tables(rng, N, d)
+    cj = jnp.asarray(cos, jnp.float32)
+    sj = jnp.asarray(signed_sin(sin), jnp.float32)
+    out = qkv_prep(qkv, H, d, cj, sj, norm=True, aug_v=True, interpret=True)
+    ref = reference_qkv_prep(qkv, H, d, cj, sj, norm=True, aug_v=True)
+    assert out[2].shape == (B, H, N, d + 1)
+    np.testing.assert_allclose(np.asarray(out[2][..., -1]), 1.0)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_flash_accepts_pre_augmented_v():
+    """flash_attention with qkv_prep's pre-aug v == plain v, fwd and grads."""
+    from dfot_tpu.ops.attention import flash_attention
+
+    rng = np.random.default_rng(7)
+    B, H, N, d = 1, 2, 256, 64
+    q = jnp.asarray(rng.standard_normal((B, H, N, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, N, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, N, d)), jnp.float32)
+    va = jnp.pad(v, [(0, 0)] * 3 + [(0, 1)], constant_values=1.0)
+    w = jnp.asarray(rng.standard_normal((B, H, N, d)), jnp.float32)
+
+    def loss_plain(q_, k_, v_):
+        return (flash_attention(q_, k_, v_, False, 128, 128, True) * w).sum()
+
+    def loss_aug(q_, k_, v_):
+        vv = jnp.pad(v_, [(0, 0)] * 3 + [(0, 1)], constant_values=1.0)
+        return (flash_attention(q_, k_, vv, False, 128, 128, True) * w).sum()
+
+    out_plain = flash_attention(q, k, v, False, 128, 128, True)
+    out_aug = flash_attention(q, k, va, False, 128, 128, True)
+    np.testing.assert_allclose(
+        np.asarray(out_aug), np.asarray(out_plain), atol=1e-6
+    )
+    gp = jax.grad(loss_plain, (0, 1, 2))(q, k, v)
+    ga = jax.grad(loss_aug, (0, 1, 2))(q, k, v)
+    for a, b in zip(ga, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_packed_attention_d64_aug_route_matches_dense():
+    """attention_from_packed_qkv at d=64 (the flagship aug route) vs the
+    dense oracle: rope+norm+flash end to end, fwd + packed-qkv grads."""
+    from dfot_tpu.ops.attention import flash_attention
+
+    rng = np.random.default_rng(8)
+    B, N, H, d = 1, 256, 2, 64
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3 * H * d)), jnp.float32)
+    cos, sin = _tables(rng, N, d)
+    cj = jnp.asarray(cos, jnp.float32)
+    sj = jnp.asarray(signed_sin(sin), jnp.float32)
+
+    force_fused_interpret(True)
+    try:
+        got = attention_from_packed_qkv(qkv, H, d, None, norm=True)
+
+        def loss(qkv_):
+            return attention_from_packed_qkv(qkv_, H, d, None, norm=True).sum()
+
+        g_got = jax.grad(loss)(qkv)
+    finally:
+        force_fused_interpret(False)
+
+    q, k, v = reference_qkv_prep(qkv, H, d, cj * 0 + 1, sj * 0, norm=True)
+
+    def dense(qkv_):
+        q, k, v = reference_qkv_prep(qkv_, H, d, cj * 0 + 1, sj * 0, norm=True)
+        o = flash_attention(q, k, v, False, 128, 128, True)
+        return jnp.moveaxis(o, 1, 2).reshape(B, N, H * d)
+
+    want = dense(qkv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    g_want = jax.grad(lambda x: dense(x).sum())(qkv)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               atol=1e-4, rtol=1e-4)
