@@ -837,20 +837,22 @@ def _run(args):
         "window_compiles": ro._window_fn._cache_size(),
         **extras,
         # trace-backed structural ceiling: `python scripts/recompute_floor.py
-        # traces/window_interp_b2_r5.json` re-derives this from a v5e trace
+        # traces/window_interp_b2_r5b.json` re-derives this from a v5e trace
         # of the IN-SCAN window program (precomputed-cond eval + HG compose
-        # + DDIM update), fully attributed per op class: attention at its
-        # per-head-dim MXU cap, conv/dot fusions at measured rate (>=55%
-        # peak), copies at HBM bandwidth, elementwise at max(bandwidth,
-        # peak-FLOPs) -> 2.23x; with every layout copy eliminated outright
-        # -> 2.44x. The r4 "2.29x" rested on a raw-forward trace with 16%
-        # of device time unattributed; the corrected floor shows the tail
-        # is elementwise fusions already running at 591-760 GB/s of the
-        # 819 GB/s HBM bound, not harvestable headroom. Even at the cap,
-        # exact-parity UViT3DPose math on one v5e tops out below 3x.
-        "structural_cap_vs_baseline": "2.23x (2.44x if all layout copies "
+        # + DDIM update) WITH the r5 fused qkv-prep/collect kernels, fully
+        # attributed per op class: attention at its per-head-dim MXU cap
+        # (achieved 91.4 of the 98 TF/s d=64 cap), pallas data-movement
+        # kernels and conv/dot fusions at measured rate (>=55% peak),
+        # copies at HBM bandwidth, elementwise at max(bandwidth,
+        # peak-FLOPs) -> 2.40x; with every remaining layout copy eliminated
+        # outright -> 2.47x. (The pre-fused-kernel trace floored at 2.23x —
+        # the cap moves as measured-rate classes shrink; the r4 "2.29x"
+        # additionally rested on a raw-forward trace with 16% of device
+        # time unattributed.) Even at the cap, exact-parity UViT3DPose
+        # math on one v5e tops out below 3x.
+        "structural_cap_vs_baseline": "2.40x (2.47x if all layout copies "
                                       "were free; recompute_floor.py on "
-                                      "traces/window_interp_b2_r5.json)",
+                                      "traces/window_interp_b2_r5b.json)",
     }
     emit(final_line)
 

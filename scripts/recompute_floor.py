@@ -63,13 +63,57 @@ ATTN_FLOPS = LEVEL3 + MID  # ~2.24e12
 # Trace-op classification: the summary keys are full HLO instruction lines
 # ("%up_2_1.1 = (bf16[...]) custom-call(...)"), named after the MODEL SCOPE,
 # not the kernel — so match the DEFINING opcode, not a substring (operand
-# lists of fusions also contain "custom-call" as text). The only pallas
-# kernels in dfot_tpu are the attention kernels (ops/attention.py,
-# ops/ring_attention.py), so defining custom-call <=> attention kernel.
+# lists of fusions also contain "custom-call" as text). Since r5 the repo
+# has TWO kinds of pallas kernels: attention-dot kernels (flash fwd/dq/dkv,
+# ops/attention.py + ring_attention.py — MXU compute, promoted to the
+# per-head-dim cap) and DATA-MOVEMENT kernels (qkv-prep / attn-out-collect /
+# ln_modulate, ops/qkv_prep.py + ln_modulate.py — HBM-bandwidth-bound by
+# design; flooring them at the attention cap would claim their time
+# vanishes). They are told apart by output signature:
+#   flash fwd: (bf16[bh,n,d], f32[bh,n,1])            -> attention
+#   dkv:       (bf16[bh,n,dp], bf16[bh,n,dp])          -> attention
+#   dq / small-n: single bf16[bh,n,d<=128]             -> attention
+#   qkv-prep fwd: 3-tuple of 4-d (B,H,N,DP)            -> pallas_move
+#   collect / ln fwd: single 3-d with last dim > 128   -> pallas_move
+#   prep bwd (5-tuple), scatter (single 4-d), ln bwd
+#   (3-tuple of 3-d), everything else                  -> pallas_move
 _DEF_CUSTOM_CALL = re.compile(r"[)}\]]\s*custom-call\(")
+_SHAPE = re.compile(r"(\w+)\[([\d,]*)\]")
+
+
+def _pallas_kind(hlo_line: str) -> str:
+    """'' (not a defining custom-call), 'attention', or 'pallas_move'."""
+    if not _DEF_CUSTOM_CALL.search(hlo_line):
+        return ""
+    try:
+        out_sig = hlo_line.split(" = ", 1)[1].split(" custom-call(", 1)[0]
+    except IndexError:
+        return "pallas_move"
+    elems = []
+    for dt, dims in _SHAPE.findall(out_sig):
+        shape = [int(x) for x in dims.split(",") if x]
+        elems.append((dt, shape))
+    if not elems:
+        return "pallas_move"
+    if len(elems) == 2:
+        (dt0, s0), (dt1, s1) = elems
+        if dt1 == "f32" and s1 and s1[-1] == 1:
+            return "attention"  # flash forward (out, lse)
+        if dt0 == dt1 and s0 == s1 and len(s0) == 3:
+            return "attention"  # dkv backward (dk, dv)
+        return "pallas_move"
+    if len(elems) == 1:
+        dt0, s0 = elems[0]
+        if len(s0) == 3 and s0 and s0[-1] <= 128:
+            return "attention"  # dq backward / small-n forward
+        return "pallas_move"
+    return "pallas_move"
 
 
 def _is_attention_op(hlo_line: str) -> bool:
+    """Legacy (r4) predicate: any defining custom-call. Kept so the
+    committed r4 artifacts re-derive exactly as the r4 verdict reviewed
+    them (no data-movement kernels existed then)."""
     return bool(_DEF_CUSTOM_CALL.search(hlo_line))
 
 
@@ -86,8 +130,9 @@ _MXU_CATS = ("convolution fusion", "convolution", "dot", "output fusion")
 
 def classify(op: dict) -> str:
     name, cat = op["name"], op.get("cat", "")
-    if _is_attention_op(name):
-        return "attention"
+    kind = _pallas_kind(name)
+    if kind:
+        return kind
     if cat in _MXU_CATS or op.get("gflops", 0.0) > 1.0:
         return "mxu"
     if cat in _COPY_CATS and op.get("gflops", 0.0) == 0.0:
@@ -107,6 +152,12 @@ def class_floor_ms(cls: str, ms: float, gflops: float, mbytes: float,
         # already run >=55% of peak here; promoting them to peak would
         # claim headroom we have no plan to realize
         return ms
+    if cls == "pallas_move":
+        # qkv-prep / collect / ln_modulate: single-pass HBM kernels that
+        # each replaced a measured-slower XLA op chain; measured rate IS
+        # the justified floor (xplane reports no bytes for custom-calls,
+        # so a bandwidth bound cannot be computed from the trace)
+        return ms
     if cls == "copy":
         return min(ms, bw_ms)
     return min(ms, max(bw_ms, flop_ms))
@@ -124,7 +175,8 @@ def rich_floor(s: dict, args) -> None:
                  "profile_forward.py --window")
 
     total_ms = s["traced_device_ms_per_step"]
-    cls_ms = {c: 0.0 for c in ("attention", "mxu", "copy", "elementwise")}
+    cls_ms = {c: 0.0 for c in
+              ("attention", "pallas_move", "mxu", "copy", "elementwise")}
     cls_floor = dict(cls_ms)
     cls_bytes = dict(cls_ms)
     cls_flops = dict(cls_ms)
@@ -216,7 +268,8 @@ def rich_floor(s: dict, args) -> None:
                else f"NOT structural ({unattr_frac:.1%} unattributed)")
     print(
         f"\nConclusion [{quality}]: attention at its per-head-dim cap, "
-        f"conv/dot fusions at measured rate, copies at HBM bandwidth, "
+        f"pallas data-movement kernels and conv/dot fusions at measured "
+        f"rate, copies at HBM bandwidth, "
         f"elementwise at max(bandwidth, peak-FLOPs) -> floor "
         f"{out['floor']['rollout_floor_fps']} fps = {vs:.2f}x baseline "
         f"(copies eliminated: "

@@ -192,3 +192,36 @@ def test_bench_probe_success_path(monkeypatch):
     monkeypatch.setattr(bench.sys, "executable", "/bin/true")
     probe = bench.probe_backend(budget_sec=30.0)
     assert probe["ok"] is True and probe["attempts"] == 1
+
+
+def test_floor_script_pallas_kind_classification():
+    """recompute_floor tells attention-dot pallas calls from the r5
+    data-movement kernels by output signature (the r4 'custom-call <=>
+    attention' rule would promote bandwidth kernels to the MXU cap)."""
+    import importlib.util, pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "recompute_floor",
+        pathlib.Path(__file__).parent.parent / "scripts" / "recompute_floor.py",
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    flash = ("%up.1 = (bf16[36,8192,64]{2,1,0}, f32[36,8192,1]{2,1,0}) "
+             "custom-call(bf16[36,8192,64]{2,1,0} %a)")
+    dkv = ("%g.2 = (bf16[36,8192,128]{2,1,0}, bf16[36,8192,128]{2,1,0}) "
+           "custom-call(bf16[36,8192,128]{2,1,0} %a)")
+    dq = "%g.3 = bf16[36,8192,128]{2,1,0} custom-call(bf16[8,1,2]{2,1,0} %a)"
+    prep = ("%b.4 = (bf16[4,9,8192,64]{3,2,1,0}, bf16[4,9,8192,64]{3,2,1,0},"
+            " bf16[4,9,8192,65]{3,2,1,0}) custom-call(bf16[4,8192,1728] %a)")
+    collect = "%b.5 = bf16[4,8192,576]{2,1,0} custom-call(bf16[4,9,8192,64] %a)"
+    ln = "%c.6 = bf16[8,1280,1152]{2,1,0} custom-call(bf16[8,1280,1152] %a)"
+    fusion = "%f.7 = bf16[4,8192,576]{2,1,0} fusion(bf16[2,2]{1,0} %a)"
+
+    assert m._pallas_kind(flash) == "attention"
+    assert m._pallas_kind(dkv) == "attention"
+    assert m._pallas_kind(dq) == "attention"
+    assert m._pallas_kind(prep) == "pallas_move"
+    assert m._pallas_kind(collect) == "pallas_move"
+    assert m._pallas_kind(ln) == "pallas_move"
+    assert m._pallas_kind(fusion) == ""
