@@ -240,6 +240,36 @@ def bench_forward(model, variables, res, T, pose_dim):
     return flops_per_fwd, fwd_sec
 
 
+def run_workload(fn, attempts: int = 2, retry_wait: float = 10.0):
+    """Run one bench workload; returns ``(result, error_repr)``.
+
+    Retries once on transient failures — remote_compile HTTP 500s from the
+    tunnel's tpu_compile_helper, and RESOURCE_EXHAUSTED (which a gc pass
+    between attempts often clears). Drops the exception's traceback frames
+    before retrying so a failed attempt's locals (train states are ~8 GB
+    at flagship scale) can't pin HBM for the next workload — that chain
+    (HTTP 500 -> leaked train state -> latent OOM) cost an r5 bench run
+    all three training lines.
+    """
+    import gc
+
+    last = None
+    for i in range(attempts):
+        try:
+            return fn(), None
+        except Exception as e:  # noqa: BLE001 — never lose the main line
+            last = repr(e)[:200]
+            transient = ("remote_compile" in last or "HTTP 500" in last
+                         or "RESOURCE_EXHAUSTED" in last)
+            e.__traceback__ = None
+            del e
+            gc.collect()
+            if not transient or i == attempts - 1:
+                break
+            time.sleep(retry_wait)
+    return None, last
+
+
 def bench_train(model_spec_args, variables, res, T, pose_dim, dcfg, sched,
                 flops_per_fwd, batch: int = 1, remat=True, remat_policy=None,
                 rng_impl: str = "threefry2x32", accumulate: int = 1):
@@ -694,29 +724,29 @@ def _run(args):
         if args.skip_latent_train:
             return
         set_phase("latent_train")
-        try:
-            # no-remat is the chip-swept winner at the recipe batch (21.1%
-            # MFU vs 16.1% full-remat / 17.7% dots — latent activations are
-            # small, recompute was pure overhead)
-            lat = bench_latent_train(
-                model_kind="xl", batch=2 if args.tiny else 8, tiny=args.tiny,
-                remat=False,
-            )
+        # no-remat is the chip-swept winner at the recipe batch (21.1%
+        # MFU vs 16.1% full-remat / 17.7% dots — latent activations are
+        # small, recompute was pure overhead)
+        lat, err = run_workload(lambda: bench_latent_train(
+            model_kind="xl", batch=2 if args.tiny else 8, tiny=args.tiny,
+            remat=False,
+        ))
+        if lat is not None:
             emit(lat)
             target["latent_train_steps_per_sec"] = lat["value"]
             target["latent_train_mfu"] = lat["train_mfu"]
-        except Exception as e:  # noqa: BLE001 — never lose the main line
-            target["latent_train_error"] = repr(e)[:200]
-        try:
-            latb = bench_latent_train(
-                model_kind="b", batch=2 if args.tiny else 8, tiny=args.tiny,
-                remat=False,
-            )
+        else:
+            target["latent_train_error"] = err
+        latb, err = run_workload(lambda: bench_latent_train(
+            model_kind="b", batch=2 if args.tiny else 8, tiny=args.tiny,
+            remat=False,
+        ))
+        if latb is not None:
             emit(latb)
             target["latent_train_b_steps_per_sec"] = latb["value"]
             target["latent_train_b_mfu"] = latb["train_mfu"]
-        except Exception as e:  # noqa: BLE001
-            target["latent_train_b_error"] = repr(e)[:200]
+        else:
+            target["latent_train_b_error"] = err
 
     if args.window8 or args.tiny or args.skip_rollout:
         if not args.skip_train and not args.window8:
@@ -856,24 +886,34 @@ def _run(args):
     }
     emit(final_line)
 
+    # free the rollout's device state before the training workloads: the
+    # 200-frame pixel buffers + window outputs are ~GBs of HBM, and a
+    # training OOM here cost an r5 bench run all three train lines
+    import gc
+    del out, ro, xs, conds
+    gc.collect()
+
     # ---- workload 3: training throughput --------------------------------
     if not args.skip_train:
         set_phase("train")
-        try:
-            train_line = bench_train(
-                {"tiny": args.tiny}, variables, res, T, pose_dim, dcfg, sched,
-                flops_per_fwd, batch=args.train_batch, remat=train_remat,
-                remat_policy=args.train_remat_policy,  # "none" maps to None
-            )
+        train_line, err = run_workload(lambda: bench_train(
+            {"tiny": args.tiny}, variables, res, T, pose_dim, dcfg, sched,
+            flops_per_fwd, batch=args.train_batch, remat=train_remat,
+            remat_policy=args.train_remat_policy,  # "none" maps to None
+        ))
+        if train_line is not None:
             emit(train_line)
             final_line = {
                 **final_line,
                 "train_steps_per_sec": train_line["value"],
                 "train_mfu": train_line["train_mfu"],
             }
-        except Exception as e:  # noqa: BLE001 — never lose the rollout line
-            final_line = {**final_line, "train_error": repr(e)[:200]}
+        else:
+            final_line = {**final_line, "train_error": err}
     # ---- workload 4: K600 @DiT/XL latent-recipe training -----------------
+    # (builds its own models — drop the flagship weights first)
+    del variables, model
+    gc.collect()
     add_latent_train_line(final_line)
     # LAST line = the flagship rollout metric (with everything folded in)
     emit(final_line)
