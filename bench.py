@@ -266,6 +266,12 @@ def run_workload(fn, attempts: int = 2, retry_wait: float = 10.0):
             gc.collect()
             if not transient or i == attempts - 1:
                 break
+            if "RESOURCE_EXHAUSTED" in last:
+                # drop compiled executables (and their baked constants)
+                # before retrying an HBM OOM
+                import jax
+                jax.clear_caches()
+                gc.collect()
             time.sleep(retry_wait)
     return None, last
 
@@ -625,8 +631,27 @@ def _run(args):
     # to 180-channel ray-encoding maps happens ON DEVICE once per window
     # (utils/geometry.py:expand_pose_conditions_jax) — the host never
     # copies or uploads the 24 MB/frame maps
-    from dfot_tpu.models.uvit import precompute_pose_conditioning
+    from dfot_tpu.models.uvit import (
+        patchify_tokens,
+        precompute_pose_conditioning,
+        unpatchify_tokens,
+    )
     from dfot_tpu.utils.geometry import expand_pose_conditions_jax
+
+    # token-layout scan state: the window's pixel<->patch transpose runs
+    # once per window instead of per scan step, and the HG-expand/DDIM
+    # elementwise chain runs on contiguous token layouts (the pixel-space
+    # per-step copies were ~170 ms/window of the r5 trace's copy class)
+    p_sz = model.spec.patch_size
+    model_tok = model.clone(token_io=True)
+
+    def model_apply_tok(variables, x, noise_levels, cond, cond_mask):
+        return model_tok.apply(variables, x, noise_levels, cond, cond_mask)
+
+    state_codec = (
+        lambda x: patchify_tokens(x, p_sz),
+        lambda x: unpatchify_tokens(x, p_sz, res, res),
+    )
 
     cond_dtype = jnp.float32 if args.tiny else jnp.bfloat16
     ctype = "ray_encoding" if pose_dim == 180 else "ray"
@@ -645,8 +670,9 @@ def _run(args):
             sliding_context_len=T // 2,
             interpolation_max_batch_size=args.interp_batch,
             cond_transform=cond_transform,
+            state_codec=state_codec,
         ),
-        dcfg, sched, model_apply,
+        dcfg, sched, model_apply_tok,
     )
     rngk = jax.random.PRNGKey
 
@@ -760,6 +786,12 @@ def _run(args):
             summary = {**window8_line,
                        "train_steps_per_sec": train_line["value"],
                        "train_mfu": train_line["train_mfu"]}
+            # latent workloads build their own models — free the flagship
+            # weights and compiled 256px programs first (HBM headroom)
+            import gc
+            del variables, model, model_tok
+            gc.collect()
+            jax.clear_caches()
             add_latent_train_line(summary)
             emit(summary)
         return
@@ -911,9 +943,11 @@ def _run(args):
         else:
             final_line = {**final_line, "train_error": err}
     # ---- workload 4: K600 @DiT/XL latent-recipe training -----------------
-    # (builds its own models — drop the flagship weights first)
-    del variables, model
+    # (builds its own models — drop the flagship weights and the compiled
+    # 256px programs first: the XL recipe batch needs nearly all of HBM)
+    del variables, model, model_tok
     gc.collect()
+    jax.clear_caches()
     add_latent_train_line(final_line)
     # LAST line = the flagship rollout metric (with everything folded in)
     emit(final_line)

@@ -35,7 +35,30 @@ from .embeddings import (
     make_rope_3d,
 )
 
-__all__ = ["UViTSpec", "UViT3D", "UViT3DPose", "precompute_pose_conditioning"]
+__all__ = ["UViTSpec", "UViT3D", "UViT3DPose", "precompute_pose_conditioning",
+           "patchify_tokens", "unpatchify_tokens"]
+
+
+def patchify_tokens(x: jax.Array, p: int) -> jax.Array:
+    """(B, T, H, W, C) pixels -> (B, T, h*w, p*p*C) patch tokens, the exact
+    row layout ``embed_input`` consumes. Used as the sampling scan's
+    ``state_codec``: the denoise loop's state then stays in token layout so
+    the per-step patchify/unpatchify transposes (and the bad layouts XLA
+    chains through the pixel-space HG-expand/DDIM ops — ~170 ms/window of
+    the flagship rollout trace's copy class) happen ONCE per window."""
+    B, T, H, W, C = x.shape
+    x = x.reshape(B, T, H // p, p, W // p, p, C)
+    x = jnp.moveaxis(x, 3, 4)
+    return x.reshape(B, T, (H // p) * (W // p), p * p * C)
+
+
+def unpatchify_tokens(x: jax.Array, p: int, H: int, W: int) -> jax.Array:
+    """Inverse of :func:`patchify_tokens`."""
+    B, T, N, D = x.shape
+    C = D // (p * p)
+    x = x.reshape(B, T, H // p, W // p, p, p, C)
+    x = jnp.moveaxis(x, 4, 3)
+    return x.reshape(B, T, H, W, C)
 
 
 class RMSNorm(nn.Module):
@@ -343,6 +366,10 @@ class UViT3D(nn.Module):
     external_cond_dropout: float = 0.0
     use_fourier_noise_emb: bool = False
     dtype: jnp.dtype = jnp.float32
+    # token-layout IO: x in/out as (B, T, h*w, p*p*C) patch tokens (see
+    # patchify_tokens) — entry/exit reshapes are free, the pixel<->patch
+    # transpose moves to the caller (once per sampling window, not per step)
+    token_io: bool = False
 
     @property
     def num_levels(self) -> int:
@@ -444,16 +471,25 @@ class UViT3D(nn.Module):
         train: bool = False,
     ) -> jax.Array:
         s = self.spec
-        B, T, H, W, C = x.shape
+        p = s.patch_size
+        if self.token_io:
+            B, T, N, D = x.shape
+            hh = ww = self.level_resolution(0)
+            H = W = self.resolution
+            assert N == hh * ww and D == p * p * self.x_channels, (
+                f"token_io expects (B,T,{hh * ww},{p * p * self.x_channels}), "
+                f"got {x.shape}"
+            )
+            x = x.reshape(B * T, hh, ww, D)
+        else:
+            B, T, H, W, C = x.shape
+            # embed_input: patchify + matmul (== stride-p conv)
+            x = x.reshape(B * T, H, W, C)
+            x = x.reshape(B * T, H // p, p, W // p, p, C)
+            x = jnp.moveaxis(x, 2, 3).reshape(B * T, H // p, W // p, p * p * C)
         assert T == s.max_temporal_length, (
             f"U-ViT temporal length fixed at {s.max_temporal_length}, got {T}"
         )
-        p = s.patch_size
-
-        # embed_input: patchify + matmul (== stride-p conv)
-        x = x.reshape(B * T, H, W, C)
-        x = x.reshape(B * T, H // p, p, W // p, p, C)
-        x = jnp.moveaxis(x, 2, 3).reshape(B * T, H // p, W // p, p * p * C)
         x = nn.Dense(s.channels[0], dtype=self.dtype, name="embed_input")(x)
 
         # conditioning embedding (B, T, E) -> per-level maps (+ optional
@@ -514,6 +550,10 @@ class UViT3D(nn.Module):
             dtype=self.dtype, name="project_output",
         )(x)
         hh, ww = H // p, W // p
+        if self.token_io:
+            return x.reshape(
+                B, T, hh * ww, p * p * self.x_channels
+            ).astype(jnp.float32)
         x = x.reshape(B * T, hh, ww, p, p, self.x_channels)
         x = jnp.moveaxis(x, 3, 2).reshape(B * T, H, W, self.x_channels)
         return x.reshape(B, T, H, W, self.x_channels).astype(jnp.float32)

@@ -104,6 +104,12 @@ class _Spec(NamedTuple):
     block_n: int
     interpret: bool
     aug_v: bool = False  # append a ones lane to v (flash normalizer column)
+    # bwd kernel block (0 -> pure-JAX VJP fallback). The bwd keeps far more
+    # live f32 rows than the fwd (unrolled per-head rotate/norm cotangents +
+    # the dqkv concat), so it needs its own, smaller, VMEM-calibrated block:
+    # Mosaic measured 26.64 MB scoped at (bn=512, W=1728, H=9, DP=64) — the
+    # fwd-derived bn=512 OOMs the 16 MB limit (r5 flagship-train regression).
+    block_n_bwd: int = 0
 
 
 def _prep_kernel(qkv_ref, cq_ref, sq_ref, ck_ref, sk_ref,
@@ -226,10 +232,24 @@ def _pick_bn(n: int, bytes_per_token: int = 0,
 
 def _prep_bytes_per_token(W: int, H: int, D: int, DP: int,
                           itemsize: int = 2) -> int:
-    """Backward-pass working set per token row (the fwd is strictly
-    smaller): qkv in + dqkv out + 3 head-major cotangent blocks + 4 bf16
-    tables + 4 f32 table-cotangent blocks."""
+    """Forward-pass working set per token row: qkv in + 3 head-major out
+    blocks + 4 bf16 tables (each double-buffered — covered by the halved
+    budget in :func:`_pick_bn`)."""
     return (2 * W + 3 * H * DP + 4 * D) * itemsize + 4 * D * 4
+
+
+def _bwd_bytes_per_token(W: int, H: int, DP: int) -> int:
+    """TOTAL scoped-VMEM bytes per token row of the bwd kernel (block
+    buffers incl. double-buffering + Mosaic stack temporaries), calibrated
+    against two chip measurements: 26.64 MB at (bn=512, W=1728, H=9,
+    DP=64) -> 53.3 KB/token (this model: 55.3, conservative), and the
+    known-compiling XL-latent config (bn=128, W=3456, H=16, DP=128)
+    <= 16 MB (this model: 15.5 MB). Use with ``budget=_BWD_VMEM_BUDGET``
+    (NOT the halved fwd budget — double-buffering is already counted)."""
+    return 28 * W + 12 * H * DP
+
+
+_BWD_VMEM_BUDGET = 15_750_000  # just under the 16 MB scoped limit
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -269,11 +289,62 @@ def _qkv_prep_fwd(spec: _Spec, qkv, cq, sq, ck, sk):
     return out, (qkv, cq, sq, ck, sk)
 
 
-def _qkv_prep_bwd(spec: _Spec, res, g):
+def _bwd_jax(spec: _Spec, res, g):
+    """Pure-JAX VJP of :func:`_pallas_prep` — the fallback when no bwd
+    block fits scoped VMEM. Mirrors :func:`_bwd_kernel` exactly: rotate the
+    cotangent back (dy*cos + swap(dy*sin)), RMSNorm backward in f32, padded
+    lanes and the aug-v ones lane dropped (constants), table cotangents
+    summed over batch and heads."""
     qkv, cq, sq, ck, sk = res
     dq, dk, dv = g
     B, N, W = qkv.shape
-    H, D, DP, bn = spec.heads, spec.head_dim, spec.d_out, spec.block_n
+    H, D = spec.heads, spec.head_dim
+    x = qkv.reshape(B, N, 3, H, D)
+    streams, dtabs = [], []
+    for s, (dy, cos, sin) in enumerate(((dq, cq, sq), (dk, ck, sk))):
+        dy = jnp.moveaxis(dy[..., :D], 1, 2)  # (B, H, N, DP) -> (B, N, H, D)
+        cosb = cos[None, :, None, :].astype(dy.dtype)
+        sinb = sin[None, :, None, :].astype(dy.dtype)
+        du = dy * cosb + swap_pairs(dy * sinb)
+        xs_ = x[:, :, s]
+        if spec.norm:
+            xf = xs_.astype(jnp.float32)
+            r = jax.lax.rsqrt(
+                jnp.mean(xf * xf, axis=-1, keepdims=True) + spec.eps
+            )
+            gf = du.astype(jnp.float32)
+            dx = r * gf - xf * (
+                r * r * r * jnp.mean(gf * xf, axis=-1, keepdims=True)
+            )
+            streams.append(dx.astype(qkv.dtype))
+            u = (xf * r).astype(qkv.dtype)
+        else:
+            streams.append(du)
+            u = xs_
+        if spec.tables_diff:
+            dyf = dy.astype(jnp.float32)
+            dtabs.append(jnp.sum(u.astype(jnp.float32) * dyf, axis=(0, 2)))
+            dtabs.append(
+                jnp.sum(swap_pairs(u).astype(jnp.float32) * dyf, axis=(0, 2))
+            )
+    streams.append(jnp.moveaxis(dv[..., :D], 1, 2))
+    dqkv = jnp.stack(streams, axis=2).reshape(B, N, W)
+    if spec.tables_diff:
+        dcq, dsq, dck, dsk = dtabs
+        return dqkv, dcq.astype(cq.dtype), dsq.astype(sq.dtype), \
+            dck.astype(ck.dtype), dsk.astype(sk.dtype)
+    z = jnp.zeros_like
+    return dqkv, z(cq), z(sq), z(ck), z(sk)
+
+
+def _qkv_prep_bwd(spec: _Spec, res, g):
+    if not spec.block_n_bwd and not spec.interpret:
+        return _bwd_jax(spec, res, g)
+    qkv, cq, sq, ck, sk = res
+    dq, dk, dv = g
+    B, N, W = qkv.shape
+    H, D, DP = spec.heads, spec.head_dim, spec.d_out
+    bn = spec.block_n_bwd or spec.block_n
     DV = DP + 1 if spec.aug_v else DP
     grid = (N // bn, B)  # batch innermost: table-grad blocks accumulate
     tab_spec = pl.BlockSpec((bn, D), lambda j, b: (j, 0), memory_space=_VMEM)
@@ -345,6 +416,8 @@ def qkv_prep(
     assert not (aug_v and DP != head_dim), "aug_v is for unpadded heads only"
     bn = _pick_bn(N, _prep_bytes_per_token(W, heads, head_dim, DP))
     assert bn, f"N={N} not divisible by a VMEM-feasible 128-multiple block"
+    bn_bwd = _pick_bn(N, _bwd_bytes_per_token(W, heads, DP),
+                      budget=_BWD_VMEM_BUDGET)
     dt = qkv.dtype
     cos = cos.astype(jnp.float32)
     sin = sin_signed.astype(jnp.float32)
@@ -360,7 +433,7 @@ def qkv_prep(
         ck, sk = cos.astype(dt), sin.astype(dt)
     tables_diff = q_scale is not None or k_scale is not None
     spec = _Spec(heads, head_dim, DP, norm, eps, tables_diff, bn, interpret,
-                 aug_v)
+                 aug_v, bn_bwd)
     return _qkv_prep_p(spec, qkv, cq, sq, ck, sk)
 
 

@@ -72,6 +72,10 @@ class RolloutConfig:
     # optional jax.sharding.Mesh: shards the NFE-expanded denoiser batch over
     # its 'data' axis (multi-chip sampling; see sampler.make_window_sampler)
     mesh: Optional[object] = None
+    # optional (to_state, from_state) pair keeping the scan state in the
+    # model's token layout (sampler.make_window_sampler state_codec);
+    # model_apply must then accept token-layout x (UViT3D token_io=True)
+    state_codec: Optional[Tuple[Callable, Callable]] = None
 
 
 class DFoTRollout:
@@ -103,6 +107,7 @@ class DFoTRollout:
             reconstruction_guidance=dcfg.reconstruction_guidance,
             mesh=cfg.mesh,
             cond_transform=cfg.cond_transform,
+            state_codec=cfg.state_codec,
         )
 
     # ------------------------------------------------------------------
@@ -374,6 +379,15 @@ class DFoTRollout:
                         history_guidance=history_guidance,
                     )
                 )
+                try:
+                    # queue the D2H transfer NOW: PJRT schedules it after the
+                    # group's compute completes, so group i's fetch rides
+                    # under group i+1's compute instead of serializing after
+                    # the round (the fetch is the bulk of the ~12.5 s
+                    # interp_host_scatter_sec in the r5 200-frame rollout)
+                    outs[-1].copy_to_host_async()
+                except AttributeError:
+                    pass  # non-jax output (CPU/test paths)
                 if self.progress is not None:
                     # non-blocking heartbeat (dispatch-time, not completion)
                     self.progress("window", {"windows": self.stats["windows"]})

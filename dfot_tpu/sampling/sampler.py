@@ -226,6 +226,7 @@ def make_window_sampler(
     mesh=None,
     data_axis: str = "data",
     cond_transform: Optional[Callable] = None,
+    state_codec=None,
 ):
     """Build the jitted one-window sampler.
 
@@ -280,6 +281,20 @@ def make_window_sampler(
         num_hist: int,
         num_gen: int,
     ) -> jax.Array:
+        if state_codec is not None:
+            # keep the scan state in the model's native token layout (e.g.
+            # patchify_tokens for U-ViT): the pixel<->patch transpose runs
+            # ONCE per window here instead of inside every scan step, and
+            # every elementwise step op (HG expand/re-noise, DDIM update,
+            # compose) runs on a contiguous layout. model_apply must take
+            # token-layout x (UViT3D token_io=True). Everything in the scan
+            # body except the model is an elementwise/per-frame-broadcast
+            # op, so the permutation commutes exactly; only the placement
+            # of internally drawn noise differs (a different, equally valid
+            # sample stream — the rng stream already differs from torch).
+            to_state, from_state = state_codec
+            x_init = to_state(x_init)
+            context = to_state(context)
         B, T = x_init.shape[:2]
         nfe = num_hist * num_gen
         # NFE-expand the conditions and clean context outside the scan:
@@ -401,6 +416,6 @@ def make_window_sampler(
             plan.noop,
         )
         (xs, _), _ = jax.lax.scan(step, (x_init, rng), scan_in)
-        return xs
+        return from_state(xs) if state_codec is not None else xs
 
     return sample_window

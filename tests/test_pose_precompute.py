@@ -157,3 +157,20 @@ def test_precompute_inside_window_sampler():
         outs[name] = np.asarray(out)
         assert np.isfinite(outs[name]).all()
     np.testing.assert_allclose(outs["raw"], outs["pre"], atol=2e-4)
+
+
+def test_token_io_matches_pixel_io():
+    """UViT3D(token_io=True) on patchified tokens must equal the pixel path
+    exactly: the entry/exit differ only by where the pixel<->patch
+    transpose happens (models/uvit.py patchify_tokens)."""
+    from dfot_tpu.models.uvit import patchify_tokens, unpatchify_tokens
+
+    model, variables, x, k, pose = _build(("ResBlock", "TransformerBlock"))
+    out_pix = model.apply(variables, x, k, pose, None)
+    tok = model.clone(token_io=True)
+    p = model.spec.patch_size
+    out_tok = tok.apply(variables, patchify_tokens(x, p), k, pose, None)
+    assert out_tok.shape == (2, 4, 8 * 8, p * p * 3)
+    np.testing.assert_array_equal(
+        np.asarray(unpatchify_tokens(out_tok, p, 16, 16)), np.asarray(out_pix)
+    )

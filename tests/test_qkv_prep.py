@@ -94,6 +94,40 @@ def test_prep_grads_match_reference(norm, scaled):
         )
 
 
+@pytest.mark.parametrize("norm,aug_v,d,dp", [
+    (True, False, 72, 128),   # padded heads (UViT q/k-norm path)
+    (True, True, 64, 64),     # flagship: unpadded + flash ones-lane
+    (False, False, 64, 64),
+])
+def test_bwd_jax_matches_kernel_bwd(norm, aug_v, d, dp):
+    """The pure-JAX VJP fallback (used when no bwd block fits scoped VMEM —
+    the r5 flagship-train OOM) must equal the Pallas bwd kernel."""
+    from dfot_tpu.ops.qkv_prep import _Spec, _bwd_jax, _qkv_prep_bwd
+
+    rng = np.random.default_rng(7)
+    B, N, H = 2, 256, 3
+    dv_lanes = dp + 1 if aug_v else dp
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3 * H * d)), jnp.float32)
+    cos, sin = _tables(rng, N, d)
+    cq = jnp.asarray(cos * rng.standard_normal(d), jnp.float32)
+    sq = jnp.asarray(signed_sin(sin) * rng.standard_normal(d), jnp.float32)
+    ck = jnp.asarray(cos, jnp.float32)
+    sk = jnp.asarray(signed_sin(sin), jnp.float32)
+    dq = jnp.asarray(rng.standard_normal((B, H, N, dp)), jnp.float32)
+    dk = jnp.asarray(rng.standard_normal((B, H, N, dp)), jnp.float32)
+    dv = jnp.asarray(rng.standard_normal((B, H, N, dv_lanes)), jnp.float32)
+    res, g = (qkv, cq, sq, ck, sk), (dq, dk, dv)
+    spec = _Spec(H, d, dp, norm, 1e-6, True, 128, True, aug_v,
+                 block_n_bwd=128)
+    out_kernel = _qkv_prep_bwd(spec, res, g)   # interpret-mode Pallas bwd
+    out_jax = _bwd_jax(spec, res, g)
+    for a, b in zip(out_kernel, out_jax):
+        scale = np.abs(np.asarray(a)).max() + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=1e-5
+        )
+
+
 def test_model_fused_branch_matches_fallback():
     """UViT ParallelBlock: fused kernel branch vs the reference chain."""
     from dfot_tpu.models.uvit import TransformerBlock

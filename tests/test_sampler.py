@@ -295,3 +295,57 @@ def test_scan_bucket_padding_preserves_samples():
     assert (
         ro_exact.stats["denoiser_evals_b1"] == ro_bucket.stats["denoiser_evals_b1"]
     )
+
+
+def test_state_codec_matches_pixel_state(monkeypatch):
+    """Token-layout scan state (RolloutConfig.state_codec) must produce the
+    same samples as the pixel-layout state: every scan-body op except the
+    model call is elementwise / per-frame-broadcast, so the pixel->patch
+    permutation commutes exactly. Internal noise draws are pinned to zeros
+    so both layouts see identical values (the live stream differs only in
+    placement — see sampler.make_window_sampler)."""
+    from dfot_tpu.diffusion import core as dc_mod
+    from dfot_tpu.models.uvit import patchify_tokens, unpatchify_tokens
+
+    monkeypatch.setattr(
+        dc_mod, "clipped_normal",
+        lambda rng, shape, clip, dtype=jnp.float32: jnp.zeros(shape, dtype),
+    )
+    p = 2
+    H = W = X_SHAPE[0]
+
+    def oracle_apply_tok(variables, x, noise_input, cond, cond_mask):
+        B, T, N, D = x.shape
+        k = noise_input.astype(jnp.int32)
+        if cond is not None:
+            tgt = cond.reshape(B, T, 1, 1)
+        else:
+            tgt = TARGET_FRAME_VALUES[:T].reshape(1, T, 1, 1)
+        tgt = jnp.broadcast_to(tgt, x.shape).astype(x.dtype)
+        sq_ac = _gather(SCHED.sqrt_alphas_cumprod, k, x.ndim)
+        sq_om = _gather(SCHED.sqrt_one_minus_alphas_cumprod, k, x.ndim)
+        eps = (x - sq_ac * tgt) / jnp.where(sq_om == 0, 1.0, sq_om)
+        return predict_v(SCHED, tgt, k, eps)
+
+    codec = (
+        lambda x: patchify_tokens(x, p),
+        lambda x: unpatchify_tokens(x, p, H, W),
+    )
+    ro_pix = _rollout()
+    ro_tok = DFoTRollout(
+        RolloutConfig(max_tokens=4, x_shape=X_SHAPE,
+                      scheduling_matrix="full_sequence", state_codec=codec),
+        DCFG, SCHED, oracle_apply_tok,
+    )
+    B, L = 1, 4
+    ctx = jnp.zeros((B, L) + X_SHAPE).at[:, 0].set(5.5)
+    mask = np.zeros((B, L), dtype=np.int64)
+    mask[:, 0] = 1
+    hg = HistoryGuidance.vanilla(guidance_scale=2.0, timesteps=DCFG.timesteps)
+    kw = dict(length=L, context=ctx, context_mask=mask, history_guidance=hg)
+    out_pix = ro_pix.sample_sequence({}, jax.random.PRNGKey(3), B, **kw)
+    out_tok = ro_tok.sample_sequence({}, jax.random.PRNGKey(3), B, **kw)
+    assert out_tok.shape == out_pix.shape == (B, L) + X_SHAPE
+    np.testing.assert_allclose(
+        np.asarray(out_tok), np.asarray(out_pix), atol=1e-6
+    )
