@@ -899,22 +899,24 @@ def _run(args):
         "window_compiles": ro._window_fn._cache_size(),
         **extras,
         # trace-backed structural ceiling: `python scripts/recompute_floor.py
-        # traces/window_interp_b2_r5b.json` re-derives this from a v5e trace
+        # traces/window_interp_b2_r5c.json` re-derives this from a v5e trace
         # of the IN-SCAN window program (precomputed-cond eval + HG compose
-        # + DDIM update) WITH the r5 fused qkv-prep/collect kernels, fully
-        # attributed per op class: attention at its per-head-dim MXU cap
-        # (achieved 91.4 of the 98 TF/s d=64 cap), pallas data-movement
-        # kernels and conv/dot fusions at measured rate (>=55% peak),
-        # copies at HBM bandwidth, elementwise at max(bandwidth,
-        # peak-FLOPs) -> 2.40x; with every remaining layout copy eliminated
-        # outright -> 2.47x. (The pre-fused-kernel trace floored at 2.23x —
-        # the cap moves as measured-rate classes shrink; the r4 "2.29x"
-        # additionally rested on a raw-forward trace with 16% of device
-        # time unattributed.) Even at the cap, exact-parity UViT3DPose
-        # math on one v5e tops out below 3x.
+        # + DDIM update) WITH the r5 fused qkv-prep/collect/ln-modulate
+        # kernels AND the token-layout scan state, fully attributed per op
+        # class (unattributed_frac 0.0): attention at its per-head-dim MXU
+        # cap (achieved 91.5 of the 98 TF/s d=64 cap), pallas data-movement
+        # kernels and conv/dot fusions at measured rate (>=55% peak), copies
+        # at HBM bandwidth, elementwise at max(bandwidth, peak-FLOPs)
+        # -> 2.40x; with every remaining layout copy eliminated outright
+        # -> 2.47x. The trace-predicted rollout (273.5 s) matches the live
+        # 200-frame measurement exactly — the remaining measured-vs-floor
+        # gap is 724 ms/window of attention above its cap-rate, 266 ms of
+        # elementwise above bandwidth, 63 ms of copies (mostly async VMEM
+        # prefetches). Even at the cap, exact-parity UViT3DPose math on one
+        # v5e tops out below 3x.
         "structural_cap_vs_baseline": "2.40x (2.47x if all layout copies "
                                       "were free; recompute_floor.py on "
-                                      "traces/window_interp_b2_r5b.json)",
+                                      "traces/window_interp_b2_r5c.json)",
     }
     emit(final_line)
 

@@ -272,7 +272,11 @@ def main():
 
         from dfot_tpu.diffusion import DiffusionConfig, make_schedule
         from dfot_tpu.guidance.history_guidance import HistoryGuidance
-        from dfot_tpu.models.uvit import precompute_pose_conditioning
+        from dfot_tpu.models.uvit import (
+            patchify_tokens,
+            precompute_pose_conditioning,
+            unpatchify_tokens,
+        )
         from dfot_tpu.sampling import DFoTRollout, RolloutConfig
         from dfot_tpu.utils.geometry import expand_pose_conditions_jax
 
@@ -287,6 +291,9 @@ def main():
             maps = expand_pose_conditions_jax(c, ctype, res).astype(cdt)
             return precompute_pose_conditioning(model, v, maps)
 
+        # token-layout scan state, exactly like bench.py's rollout
+        p_sz = model.spec.patch_size
+        model_tok = model.clone(token_io=True)
         ro = DFoTRollout(
             RolloutConfig(
                 max_tokens=T, x_shape=(res, res, 3),
@@ -294,9 +301,13 @@ def main():
                 keyframe_density=0.0625, sliding_context_len=T // 2,
                 interpolation_max_batch_size=B,
                 cond_transform=cond_transform,
+                state_codec=(
+                    lambda x: patchify_tokens(x, p_sz),
+                    lambda x: unpatchify_tokens(x, p_sz, res, res),
+                ),
             ),
             dcfg, sched,
-            lambda v, x, k, c, m: model.apply(v, x, k, c, m),
+            lambda v, x, k, c, m: model_tok.apply(v, x, k, c, m),
         )
         if args.window == "interp":
             hg = HistoryGuidance.vanilla(
