@@ -374,7 +374,7 @@ def bench_train(model_spec_args, variables, res, T, pose_dim, dcfg, sched,
         "remat_policy": remat_policy or "none",
         **({"rng_impl": rng_impl} if rng_impl != "threefry2x32" else {}),
         **({"accumulate": accumulate} if accumulate > 1 else {}),
-        "baseline_note": "A100 torch @35% MFU roofline (no published ref steps/sec)",
+        "baseline_note": "A100 torch @35% MFU roofline (no published ref steps/sec); per-chip FLOP parity with that roofline needs ~55% v5e MFU (A100 bf16 peak is 1.58x a v5e)",
     }
 
 
@@ -485,7 +485,7 @@ def bench_latent_train(model_kind: str = "xl", batch: int = 8, steps: int = 3,
         "remat": remat,
         "remat_policy": remat_policy or "none",
         **({"flat_opt": True} if flat_opt else {}),
-        "baseline_note": "A100 torch @35% MFU roofline (no published ref steps/sec)",
+        "baseline_note": "A100 torch @35% MFU roofline (no published ref steps/sec); per-chip FLOP parity with that roofline needs ~55% v5e MFU (A100 bf16 peak is 1.58x a v5e)",
     }
 
 
