@@ -225,3 +225,41 @@ def test_floor_script_pallas_kind_classification():
     assert m._pallas_kind(collect) == "pallas_move"
     assert m._pallas_kind(ln) == "pallas_move"
     assert m._pallas_kind(fusion) == ""
+
+
+def test_bench_run_workload_retry_semantics(monkeypatch):
+    """run_workload retries ONCE on transient tunnel/HBM failures (dropping
+    the exception frames so a dead attempt can't pin device memory) and
+    fails fast on everything else — the r5 bench-hardening contract."""
+    import bench
+
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("INTERNAL: remote_compile: HTTP 500: boom")
+        return {"ok": True}
+
+    out, err = bench.run_workload(flaky)
+    assert out == {"ok": True} and err is None and calls["n"] == 2
+
+    calls["n"] = 0
+
+    def oom():
+        calls["n"] += 1
+        raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+
+    out, err = bench.run_workload(oom)
+    assert out is None and "RESOURCE_EXHAUSTED" in err and calls["n"] == 2
+
+    calls["n"] = 0
+
+    def fatal():
+        calls["n"] += 1
+        raise ValueError("shape mismatch")
+
+    out, err = bench.run_workload(fatal)
+    assert out is None and "shape mismatch" in err and calls["n"] == 1
