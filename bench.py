@@ -899,24 +899,27 @@ def _run(args):
         "window_compiles": ro._window_fn._cache_size(),
         **extras,
         # trace-backed structural ceiling: `python scripts/recompute_floor.py
-        # traces/window_interp_b2_r5c.json` re-derives this from a v5e trace
-        # of the IN-SCAN window program (precomputed-cond eval + HG compose
-        # + DDIM update) WITH the r5 fused qkv-prep/collect/ln-modulate
-        # kernels AND the token-layout scan state, fully attributed per op
-        # class (unattributed_frac 0.0): attention at its per-head-dim MXU
-        # cap (achieved 91.5 of the 98 TF/s d=64 cap), pallas data-movement
-        # kernels and conv/dot fusions at measured rate (>=55% peak), copies
-        # at HBM bandwidth, elementwise at max(bandwidth, peak-FLOPs)
-        # -> 2.40x; with every remaining layout copy eliminated outright
-        # -> 2.47x. The trace-predicted rollout (273.5 s) matches the live
-        # 200-frame measurement exactly — the remaining measured-vs-floor
-        # gap is 724 ms/window of attention above its cap-rate, 266 ms of
-        # elementwise above bandwidth, 63 ms of copies (mostly async VMEM
-        # prefetches). Even at the cap, exact-parity UViT3DPose math on one
-        # v5e tops out below 3x.
-        "structural_cap_vs_baseline": "2.40x (2.47x if all layout copies "
-                                      "were free; recompute_floor.py on "
-                                      "traces/window_interp_b2_r5c.json)",
+        # traces/window_interp_b1_r5.json` re-derives this from a v5e trace
+        # of the IN-SCAN window program AT THE LIVE BATCH (B=1; the B=2
+        # sensitivity point traces 4% slower per eval —
+        # window_interp_b2_r5c.json -> 2.40x) — precomputed-cond eval + HG
+        # compose + DDIM update, WITH the r5 fused qkv-prep/collect/
+        # ln-modulate kernels AND the token-layout scan state, fully
+        # attributed per op class (unattributed_frac 0.0): attention at its
+        # per-head-dim MXU cap (achieved 91.3 of the 98 TF/s d=64 cap),
+        # pallas data-movement kernels and conv/dot fusions at measured
+        # rate (>=55% peak), copies at HBM bandwidth, elementwise at
+        # max(bandwidth, peak-FLOPs) -> 49.68 ms/eval floor = 2.50x.
+        # Measured decomposition: 54.71 ms/eval traced device (attention
+        # 3.66 ms above cap-rate, elementwise 1.02 above bandwidth, copies
+        # 0.34 — mostly async VMEM prefetches) + ~11 s rollout wall
+        # overhead (round-boundary host build/scatter + tunnel dispatch).
+        # Even at the cap, exact-parity UViT3DPose math on one v5e tops
+        # out below 3x. The keyframe window (stabilized-vanilla HG,
+        # window_keyframe_b1_r5.json) compiles to identical per-eval cost.
+        "structural_cap_vs_baseline": "2.50x (recompute_floor.py on "
+                                      "traces/window_interp_b1_r5.json; "
+                                      "B=2 sensitivity: 2.40x)",
     }
     emit(final_line)
 

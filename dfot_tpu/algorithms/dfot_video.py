@@ -73,6 +73,24 @@ class DFoTVideoAlgo:
         # ---- backbone --------------------------------------------------------
         self.model = self._build_backbone()
 
+        # token-layout sampling state for U-ViT backbones: the scan state
+        # stays in patch-token layout, so the pixel<->patch transpose runs
+        # once per window instead of per denoising step (same wiring as
+        # bench.py's flagship rollout; exactness: tests/test_sampler.py::
+        # test_state_codec_matches_pixel_state)
+        self._sample_model = self.model
+        self._state_codec = None
+        from ..models.uvit import UViT3D, patchify_tokens, unpatchify_tokens
+
+        if isinstance(self.model, UViT3D):
+            _p = self.model.spec.patch_size
+            if h == w and h % _p == 0:
+                self._sample_model = self.model.clone(token_io=True)
+                self._state_codec = (
+                    lambda x, p=_p: patchify_tokens(x, p),
+                    lambda x, p=_p: unpatchify_tokens(x, p, h, w),
+                )
+
         # ---- rollout ---------------------------------------------------------
         pred = cfg.tasks.prediction
         interp = cfg.tasks.interpolation
@@ -89,6 +107,7 @@ class DFoTVideoAlgo:
             interpolation_max_batch_size=interp.get("max_batch_size"),
             scan_bucket=cfg.get("scan_bucket", 0) or 0,
             cond_transform=self._sampling_cond_transform(),
+            state_codec=self._state_codec,
             refinement=(
                 dict(cfg.refinement_sampling.to_dict())
                 if cfg.refinement_sampling.enabled
@@ -96,7 +115,7 @@ class DFoTVideoAlgo:
             ),
         )
         self.rollout = DFoTRollout(
-            self.rollout_cfg, self.dcfg, self.sched, self._sample_apply
+            self.rollout_cfg, self.dcfg, self.sched, self._rollout_apply
         )
         self.prediction_hg_cfg = pred.history_guidance
         self.interpolation_hg_cfg = interp.history_guidance
@@ -113,7 +132,7 @@ class DFoTVideoAlgo:
 
         self.rollout_cfg = _dc.replace(self.rollout_cfg, mesh=mesh)
         self.rollout = DFoTRollout(
-            self.rollout_cfg, self.dcfg, self.sched, self._sample_apply
+            self.rollout_cfg, self.dcfg, self.sched, self._rollout_apply
         )
 
     # ------------------------------------------------------------------
@@ -302,6 +321,12 @@ class DFoTVideoAlgo:
     # ------------------------------------------------------------------
     def _sample_apply(self, variables, x, noise_levels, cond, cond_mask):
         return self.model.apply(variables, x, noise_levels, cond, cond_mask)
+
+    def _rollout_apply(self, variables, x, noise_levels, cond, cond_mask):
+        # like _sample_apply, but _sample_model may be the token_io clone
+        # (identical parameter tree) when the rollout runs with a
+        # state_codec — x is then (B, T, h*w, p*p*C) patch tokens
+        return self._sample_model.apply(variables, x, noise_levels, cond, cond_mask)
 
     def _train_apply(self, params, x, noise_levels, cond, cond_mask, rngs=None, train=False):
         ct = self._cond_transform()
